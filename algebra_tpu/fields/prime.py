@@ -156,8 +156,12 @@ class PrimeField(Field):
         limbs = batch_int_to_limbs(vals, self.spec.n_limbs)
         return jnp.asarray(limbs.reshape(shape + (self.spec.n_limbs,)))
 
+    @jit_method
+    def _from_mont(self, a):
+        return mont.from_mont(self.spec, a)
+
     def to_int(self, a):
-        canon = np.asarray(mont.from_mont(self.spec, a))
+        canon = np.asarray(self._from_mont(a))
         if canon.ndim == 1:
             return limbs_to_int(canon)
         shape = canon.shape[:-1]

@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# Persistent compilation cache: the limb-unrolled kernels are expensive to
+# compile on the CPU backend; cache across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/algebra_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import random  # noqa: E402
 
 import pytest  # noqa: E402
