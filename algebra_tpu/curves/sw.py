@@ -1,0 +1,424 @@
+"""Short Weierstrass curves: batched Jacobian-coordinate group kernels.
+
+TPU-native re-design of the reference's SW module
+(ec/src/models/short_weierstrass/{mod,affine,group}.rs): a *curve kind*
+is a singleton object whose methods act on batched point values, the way
+field kinds act on batched limb arrays.
+
+Representations
+  * projective batch: ``(x, y, z)`` tuple of base-field values in Jacobian
+    coordinates (affine x = X/Z^2, y = Y/Z^3); the point at infinity is any
+    representative with Z == 0 (matching the reference's convention,
+    group.rs `is_zero = z.is_zero()`).
+  * affine batch: ``(x, y, inf)`` with ``inf`` a boolean batch mask
+    (the reference's `Affine { x, y, infinity }`).
+
+All group laws are branchless: the add kernels evaluate the generic
+formula plus the exceptional cases (doubling, identity) and select, so one
+kernel instance serves every lane of a batch.  Formulas are the standard
+EFD ones the reference also uses: dbl-2009-l / dbl-2007-bl,
+add-2007-bl, madd-2007-bl (group.rs:171-232,443-453,302-319).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.field import Field
+
+
+def scalar_bits_le(scalars: jnp.ndarray) -> jnp.ndarray:
+    """uint32[..., Ls] 16-bit-limb scalars -> bool[..., 16*Ls] LE bit array."""
+    L = scalars.shape[-1]
+    shifts = jnp.arange(16, dtype=jnp.uint32)
+    bits = (scalars[..., :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(scalars.shape[:-1] + (16 * L,)).astype(jnp.bool_)
+
+
+class SWCurve:
+    """y^2 = x^3 + a*x + b over a base field kind."""
+
+    def __init__(
+        self,
+        base: Field,
+        a_host,
+        b_host,
+        generator_host,  # (x, y) host values in base-field representation
+        cofactor: int,
+        scalar_modulus: int,
+        name: str = "SW",
+        glv=None,
+    ):
+        self.base = base
+        self.name = name
+        self.a_host = a_host
+        self.b_host = b_host
+        self.generator_host = generator_host
+        self.cofactor = int(cofactor)
+        self.cofactor_inv = pow(self.cofactor, -1, scalar_modulus)
+        self.scalar_modulus = int(scalar_modulus)
+        self.a_is_zero = base.is_zero(base.constant(a_host))
+        self.a_is_zero = bool(jax.device_get(self.a_is_zero))
+        self.glv = glv
+
+    # ------------------------------------------------------------ constants
+    def zero(self, batch_shape=()):
+        """Point at infinity (1 : 1 : 0)."""
+        one = self.base.one(batch_shape)
+        return (one, one, self.base.zero(batch_shape))
+
+    def generator(self, batch_shape=()):
+        gx, gy = self.generator_host
+        return (
+            self.base.constant(gx, batch_shape),
+            self.base.constant(gy, batch_shape),
+            self.base.one(batch_shape),
+        )
+
+    def generator_affine(self, batch_shape=()):
+        gx, gy = self.generator_host
+        return (
+            self.base.constant(gx, batch_shape),
+            self.base.constant(gy, batch_shape),
+            jnp.zeros(batch_shape, jnp.bool_),
+        )
+
+    def _mul_by_a(self, x):
+        if self.a_is_zero:
+            return self.base.zero(self.base.batch_shape(x))
+        return self.base.mul(x, self.base.constant(self.a_host, self.base.batch_shape(x)))
+
+    # ----------------------------------------------------------- predicates
+    def is_zero(self, P):
+        return self.base.is_zero(P[2])
+
+    def batch_shape(self, P):
+        return self.base.batch_shape(P[0])
+
+    def select(self, mask, P, Q):
+        """Lane-wise select between two point batches (mask over batch dims)."""
+        return tuple(self.base.select(mask, p, q) for p, q in zip(P, Q))
+
+    def index_point(self, P, idx):
+        """Slice/gather a point batch along the leading batch axis."""
+        return tuple(self.base.index(p, idx) for p in P)
+
+    def equal(self, P, Q):
+        """Projective equality x1 z2^2 == x2 z1^2 && y1 z2^3 == y2 z1^3."""
+        B = self.base
+        z1z1, z2z2 = B.square(P[2]), B.square(Q[2])
+        xe = B.equal(B.mul(P[0], z2z2), B.mul(Q[0], z1z1))
+        ye = B.equal(
+            B.mul(P[1], B.mul(z2z2, Q[2])), B.mul(Q[1], B.mul(z1z1, P[2]))
+        )
+        both_inf = jnp.logical_and(self.is_zero(P), self.is_zero(Q))
+        either_inf = jnp.logical_or(self.is_zero(P), self.is_zero(Q))
+        return jnp.where(
+            either_inf, both_inf, jnp.logical_and(xe, ye)
+        )
+
+    # ------------------------------------------------------------ group law
+    def neg(self, P):
+        return (P[0], self.base.neg(P[1]), P[2])
+
+    def double(self, P):
+        """Branchless Jacobian doubling.
+
+        a == 0: dbl-2009-l (group.rs:176); general a: dbl-2007-bl
+        (group.rs:210).  Infinity and 2-torsion fall out automatically
+        (Z3 = 2*Y1*Z1 == 0).
+        """
+        B = self.base
+        X1, Y1, Z1 = P
+        if self.a_is_zero:
+            A = B.square(X1)
+            Bv = B.square(Y1)
+            C = B.square(Bv)
+            # D = 2*((X1+B)^2 - A - C)
+            D = B.double(B.sub(B.sub(B.square(B.add(X1, Bv)), A), C))
+            E = B.add(B.double(A), A)  # 3A
+            F = B.square(E)
+            X3 = B.sub(F, B.double(D))
+            Y3 = B.sub(B.mul(E, B.sub(D, X3)), B.double(B.double(B.double(C))))
+            Z3 = B.double(B.mul(Y1, Z1))
+            return (X3, Y3, Z3)
+        XX = B.square(X1)
+        YY = B.square(Y1)
+        YYYY = B.square(YY)
+        ZZ = B.square(Z1)
+        S = B.double(B.sub(B.sub(B.square(B.add(X1, YY)), XX), YYYY))
+        M = B.add(B.add(B.double(XX), XX), self._mul_by_a(B.square(ZZ)))
+        X3 = B.sub(B.square(M), B.double(S))
+        Y3 = B.sub(
+            B.mul(M, B.sub(S, X3)),
+            B.double(B.double(B.double(YYYY))),
+        )
+        Z3 = B.sub(B.sub(B.square(B.add(Y1, Z1)), YY), ZZ)
+        return (X3, Y3, Z3)
+
+    def add(self, P, Q):
+        """Branchless full Jacobian addition (add-2007-bl, group.rs:443)."""
+        B = self.base
+        X1, Y1, Z1 = P
+        X2, Y2, Z2 = Q
+        Z1Z1 = B.square(Z1)
+        Z2Z2 = B.square(Z2)
+        U1 = B.mul(X1, Z2Z2)
+        U2 = B.mul(X2, Z1Z1)
+        S1 = B.mul(Y1, B.mul(Z2, Z2Z2))
+        S2 = B.mul(Y2, B.mul(Z1, Z1Z1))
+        H = B.sub(U2, U1)
+        r = B.double(B.sub(S2, S1))
+        I = B.square(B.double(H))
+        J = B.mul(H, I)
+        V = B.mul(U1, I)
+        X3 = B.sub(B.sub(B.square(r), J), B.double(V))
+        Y3 = B.sub(B.mul(r, B.sub(V, X3)), B.double(B.mul(S1, J)))
+        Z3 = B.mul(B.sub(B.sub(B.square(B.add(Z1, Z2)), Z1Z1), Z2Z2), H)
+        res = (X3, Y3, Z3)
+        # exceptional cases
+        same = jnp.logical_and(B.is_zero(H), B.is_zero(r))  # P == Q
+        res = self.select(same, self.double(P), res)
+        res = self.select(self.is_zero(Q), P, res)
+        res = self.select(self.is_zero(P), Q, res)
+        return res
+
+    def add_mixed(self, P, aff):
+        """Branchless mixed addition P(+)= affine Q (madd-2007-bl,
+        group.rs:302-319).  ``aff`` is an affine batch (x, y, inf)."""
+        B = self.base
+        X1, Y1, Z1 = P
+        X2, Y2, inf2 = aff
+        Z1Z1 = B.square(Z1)
+        U2 = B.mul(X2, Z1Z1)
+        S2 = B.mul(Y2, B.mul(Z1, Z1Z1))
+        H = B.sub(U2, X1)
+        r = B.double(B.sub(S2, Y1))
+        HH = B.square(H)
+        I = B.double(B.double(HH))
+        J = B.mul(H, I)
+        V = B.mul(X1, I)
+        X3 = B.sub(B.sub(B.square(r), J), B.double(V))
+        Y3 = B.sub(B.mul(r, B.sub(V, X3)), B.double(B.mul(Y1, J)))
+        Z3 = B.sub(B.sub(B.square(B.add(Z1, H)), Z1Z1), HH)
+        res = (X3, Y3, Z3)
+        same = jnp.logical_and(B.is_zero(H), B.is_zero(r))
+        res = self.select(same, self.double(P), res)
+        res = self.select(inf2, P, res)
+        res = self.select(self.is_zero(P), self.from_affine(aff), res)
+        return res
+
+    def sub(self, P, Q):
+        return self.add(P, self.neg(Q))
+
+    # ------------------------------------------------------- representation
+    def from_affine(self, aff):
+        """(x, y, inf) -> Jacobian; infinity maps to (1,1,0)."""
+        B = self.base
+        x, y, inf = aff
+        shape = B.batch_shape(x)
+        one, zero = B.one(shape), B.zero(shape)
+        return (
+            B.select(inf, one, x),
+            B.select(inf, one, y),
+            B.select(inf, zero, one),
+        )
+
+    def to_affine(self, P):
+        """Batch-normalize to affine (batched inversion of Z; the
+        reference's ``normalize_batch``, group.rs:302)."""
+        B = self.base
+        X, Y, Z = P
+        inf = self.is_zero(P)
+        zinv = B.inverse(Z)  # fully batched Fermat inverse; 0 -> 0
+        zinv2 = B.square(zinv)
+        x = B.mul(X, zinv2)
+        y = B.mul(Y, B.mul(zinv2, zinv))
+        shape = B.batch_shape(x)
+        x = B.select(inf, B.zero(shape), x)
+        y = B.select(inf, B.one(shape), y)
+        return (x, y, inf)
+
+    def affine_neg(self, aff):
+        return (aff[0], self.base.neg(aff[1]), aff[2])
+
+    def is_on_curve(self, aff):
+        """Affine on-curve check y^2 == x^3 + a x + b (affine.rs:144);
+        infinity lanes count as on-curve."""
+        B = self.base
+        x, y, inf = aff
+        shape = B.batch_shape(x)
+        rhs = B.add(
+            B.add(B.mul(B.square(x), x), self._mul_by_a(x)),
+            B.constant(self.b_host, shape),
+        )
+        return jnp.logical_or(inf, B.equal(B.square(y), rhs))
+
+    # ----------------------------------------------------------- scalar mul
+    def scalar_mul(self, P, scalars: jnp.ndarray):
+        """P * scalar for traced per-lane scalars (uint32[..., Ls] canonical
+        16-bit limbs).  Branchless MSB-first double-and-add via lax.scan —
+        the default `mul_bigint` path (short_weierstrass/mod.rs:75)."""
+        bits = scalar_bits_le(scalars)  # [..., nbits]
+        nbits = bits.shape[-1]
+        bits_t = jnp.moveaxis(bits, -1, 0)  # [nbits, ...]
+        acc = self.zero(self.batch_shape(P))
+
+        def body(acc, bit):
+            acc = self.double(acc)
+            acc = self.select(bit, self.add(acc, P), acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc, bits_t[::-1])
+        return acc
+
+    def mul_int(self, P, k: int):
+        """P * k for a host-constant scalar (used by cofactor clearing and
+        subgroup checks), via an on-device bit scan like mont.pow_fixed."""
+        k = int(k)
+        if k == 0:
+            return self.zero(self.batch_shape(P))
+        if k < 0:
+            return self.neg(self.mul_int(P, -k))
+        nbits = k.bit_length()
+        if nbits <= 4:
+            acc = None
+            for bit in bin(k)[2:]:
+                if acc is not None:
+                    acc = self.double(acc)
+                if bit == "1":
+                    acc = P if acc is None else self.add(acc, P)
+            return acc
+        bits = jnp.asarray(
+            [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.bool_
+        )
+        acc = self.zero(self.batch_shape(P))
+        shape = self.batch_shape(P)
+
+        def body(acc, bit):
+            acc = self.double(acc)
+            acc = self.select(jnp.broadcast_to(bit, shape), self.add(acc, P), acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc, bits)
+        return acc
+
+    def clear_cofactor(self, P):
+        """Default cofactor clearing = multiply by the cofactor
+        (short_weierstrass/mod.rs:60); curves may provide faster effective
+        cofactors at the instance level."""
+        return self.mul_int(P, self.cofactor)
+
+    def is_in_correct_subgroup(self, P):
+        """[r]P == 0 (the reference's default subgroup check,
+        short_weierstrass/mod.rs:50)."""
+        return self.is_zero(self.mul_int(P, self.scalar_modulus))
+
+    # ------------------------------------------------------------- host I/O
+    def from_host(self, points):
+        """List of host affine points ((x, y) host values or None for
+        infinity) -> affine batch."""
+        B = self.base
+        hf = _host_field_of(B)
+        xs, ys, infs = [], [], []
+        for pt in points:
+            if pt is None:
+                xs.append(hf.zero())
+                ys.append(hf.one())
+                infs.append(True)
+            else:
+                xs.append(pt[0])
+                ys.append(pt[1])
+                infs.append(False)
+        x = B.stack([B.constant(v) for v in xs])
+        y = B.stack([B.constant(v) for v in ys])
+        return (x, y, jnp.asarray(infs))
+
+    def to_host(self, P):
+        """Projective batch -> list of host affine points (None = inf)."""
+        x, y, inf = self.to_affine(P)
+        xs = self.base.to_int(x)
+        ys = self.base.to_int(y)
+        infs = jax.device_get(inf)
+        if infs.ndim == 0:
+            return None if bool(infs) else (xs, ys)
+        return [
+            None if bool(i) else (xv, yv) for xv, yv, i in zip(xs, ys, infs)
+        ]
+
+    def random_host(self, rng, n: int):
+        """n random subgroup points as host affine pairs (generator * k)."""
+        # host-side scalar mult on affine ints via simple Jacobian emulation
+        out = []
+        for _ in range(n):
+            k = rng.randrange(1, self.scalar_modulus)
+            out.append(self.host_mul(self.generator_host, k))
+        return out
+
+    # host-side group law (python ints / tower tuples) for oracles
+    def host_add(self, P, Q):
+        if P is None:
+            return Q
+        if Q is None:
+            return P
+        hf = _host_field_of(self.base)
+        x1, y1 = P
+        x2, y2 = Q
+        if hf.equal(x1, x2):
+            if hf.equal(y1, y2) and not hf.equal(y1, hf.zero()):
+                return self.host_double(P)
+            return None
+        lam = hf.mul(hf.sub(y2, y1), hf.inv(hf.sub(x2, x1)))
+        x3 = hf.sub(hf.sub(hf.mul(lam, lam), x1), x2)
+        y3 = hf.sub(hf.mul(lam, hf.sub(x1, x3)), y1)
+        return (x3, y3)
+
+    def host_double(self, P):
+        if P is None:
+            return None
+        hf = _host_field_of(self.base)
+        x1, y1 = P
+        if hf.equal(y1, hf.zero()):
+            return None
+        if isinstance(self.a_host, int):
+            a = hf.from_base_prime(self.a_host)
+        else:
+            a = self.a_host
+        num = hf.add(hf.mul(hf.from_base_prime(3), hf.mul(x1, x1)), a)
+        lam = hf.mul(num, hf.inv(hf.mul(hf.from_base_prime(2), y1)))
+        x3 = hf.sub(hf.mul(lam, lam), hf.mul(hf.from_base_prime(2), x1))
+        y3 = hf.sub(hf.mul(lam, hf.sub(x1, x3)), y1)
+        return (x3, y3)
+
+    def host_mul(self, P, k: int):
+        return self.host_mul_raw(P, int(k) % self.scalar_modulus)
+
+    def host_mul_raw(self, P, k: int):
+        """Host scalar mul WITHOUT reduction mod r — needed for cofactor
+        clearing, where the input is not yet in the r-torsion."""
+        acc = None
+        for bit in bin(int(k))[2:] if k else "":
+            acc = self.host_double(acc)
+            if bit == "1":
+                acc = self.host_add(acc, P)
+        return acc
+
+    def __repr__(self):
+        return f"SWCurve({self.name})"
+
+
+def _host_field_of(base: Field):
+    """Host (python big-int) field mirror of a device field kind."""
+    from ..fields.host_tower import HostCubicExt, HostPrime, HostQuadExt
+    from ..fields.prime import PrimeField
+    from ..fields.cubic import CubicExtField
+    from ..fields.quadratic import QuadExtField
+
+    if isinstance(base, PrimeField):
+        return HostPrime(base.spec.modulus)
+    if isinstance(base, QuadExtField):
+        return HostQuadExt(_host_field_of(base.base), base.nonresidue_host)
+    if isinstance(base, CubicExtField):
+        return HostCubicExt(_host_field_of(base.base), base.nonresidue_host)
+    raise TypeError(f"no host mirror for {base}")

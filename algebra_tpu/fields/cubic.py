@@ -160,5 +160,21 @@ class CubicExtField(Field):
             self.base.equal(a[2], b[2]),
         )
 
+    # --- host conversions ----------------------------------------------------
+    def from_int(self, x, batch_shape=None):
+        if isinstance(x, tuple):
+            return tuple(self.base.from_int(c) for c in x)
+        cs = list(zip(*x))
+        return tuple(self.base.from_int(list(c)) for c in cs)
+
+    def to_int(self, a):
+        parts = [self.base.to_int(c) for c in a]
+        if not isinstance(parts[0], list):
+            return tuple(parts)
+        return [tuple(t) for t in zip(*parts)]
+
+    def random(self, rng, batch_shape=()):
+        return tuple(self.base.random(rng, batch_shape) for _ in range(3))
+
     def __repr__(self):
         return f"CubicExtField({self.name})"

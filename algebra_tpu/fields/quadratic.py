@@ -134,7 +134,13 @@ class QuadExtField(Field):
     def cyclotomic_exp(self, a, e: int):
         """a^e for cyclotomic-subgroup a and host-constant e, via signed NAF
         (cheap inversion makes signed digits profitable; cyclotomic.rs:60+).
-        Unrolled at trace time (Miller-loop exponents are curve constants)."""
+
+        Expressed as a lax.scan over the digit array so the compiled
+        program stays O(1) in the exponent length (Miller-loop exponents
+        are 64-bit curve constants; unrolling them made XLA programs
+        too large to compile quickly)."""
+        import jax
+
         from ..bigint import signed_naf
 
         e = int(e)
@@ -142,16 +148,33 @@ class QuadExtField(Field):
             return self.cyclotomic_exp(self.cyclotomic_inverse(a), -e)
         if e == 0:
             return self.one(self.batch_shape(a))
-        naf = signed_naf(e)
+        naf = signed_naf(e)  # little-endian digits in {-1, 0, 1}
+        shape = self.batch_shape(a)
+        if len(naf) <= 8:  # tiny exponents: unroll
+            a_inv = self.cyclotomic_inverse(a)
+            res = None
+            for d in reversed(naf):
+                if res is not None:
+                    res = self.cyclotomic_square(res)
+                if d == 1:
+                    res = a if res is None else self.mul(res, a)
+                elif d == -1:
+                    res = a_inv if res is None else self.mul(res, a_inv)
+            return res
         a_inv = self.cyclotomic_inverse(a)
-        res = None
-        for d in reversed(naf):
-            if res is not None:
-                res = self.cyclotomic_square(res)
-            if d == 1:
-                res = a if res is None else self.mul(res, a)
-            elif d == -1:
-                res = a_inv if res is None else self.mul(res, a_inv)
+        one = self.one(shape)
+        digits = jnp.asarray(list(reversed(naf)), dtype=jnp.int8)
+
+        def body(res, d):
+            res = self.cyclotomic_square(res)
+            factor = self.select(
+                jnp.broadcast_to(d == 1, shape),
+                a,
+                self.select(jnp.broadcast_to(d == -1, shape), a_inv, one),
+            )
+            return self.mul(res, factor), None
+
+        res, _ = jax.lax.scan(body, one, digits)
         return res
 
     # --- sqrt (two-case algorithm; reference quadratic_extension.rs:377) -----
@@ -204,6 +227,23 @@ class QuadExtField(Field):
         ok = jnp.logical_or(ok, is_z)
         root = self.select(is_z, self.zero(shape), root)
         return ok, root
+
+    # --- host conversions ----------------------------------------------------
+    def from_int(self, x, batch_shape=None):
+        """Host tower value (c0, c1) or list of such tuples -> device value."""
+        if isinstance(x, tuple):
+            return tuple(self.base.from_int(c) for c in x)
+        cs = list(zip(*x))
+        return tuple(self.base.from_int(list(c)) for c in cs)
+
+    def to_int(self, a):
+        parts = [self.base.to_int(c) for c in a]
+        if not isinstance(parts[0], list):
+            return tuple(parts)
+        return [tuple(t) for t in zip(*parts)]
+
+    def random(self, rng, batch_shape=()):
+        return (self.base.random(rng, batch_shape), self.base.random(rng, batch_shape))
 
     def __repr__(self):
         return f"QuadExtField({self.name})"

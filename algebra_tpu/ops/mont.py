@@ -36,42 +36,72 @@ def _const(arr) -> jnp.ndarray:
 
 # ---------------------------------------------------------------------------
 # carry / borrow primitives
+#
+# Carries are resolved with log-depth Kogge–Stone generate/propagate
+# prefixes rather than per-limb ripples: a ripple emits O(L) HLO ops per
+# field op, which made large programs (pairings: ~10^4 field muls per
+# Miller scan body) prohibitively slow to compile and serialized the
+# vector units at run time.  (g, p) combine as
+# (g2, p2)∘(g1, p1) = (g2 | p2&g1, p2 & p1); log2(L) doubling rounds.
 # ---------------------------------------------------------------------------
 
 
-def _propagate(cols: jnp.ndarray):
-    """Normalize a column vector to 16-bit limbs; return (limbs, carry).
+def _shift_up(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Shift limb-axis entries towards higher indices by k (zero fill)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
+    return jnp.pad(x, pad)[..., : x.shape[-1]]
 
-    ``cols`` holds per-column accumulators (< 2^31).  Sequential carry
-    ripple over the (static) limb axis; each step is a full-batch vector op.
-    """
-    K = cols.shape[-1]
-    out = []
-    carry = jnp.zeros(cols.shape[:-1], dtype=_U32)
-    for k in range(K):
-        v = cols[..., k] + carry
-        out.append(v & _MASK)
-        carry = v >> LIMB_BITS
-    return jnp.stack(out, axis=-1), carry
+
+def _ks_carries(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Kogge–Stone prefix: returns carry-IN per limb given per-limb
+    generate/propagate bits (uint32 0/1)."""
+    L = g.shape[-1]
+    shift = 1
+    while shift < L:
+        g = g | (p & _shift_up(g, shift))
+        p = p & _shift_up(p, shift)
+        shift *= 2
+    return _shift_up(g, 1)
 
 
 def _add_limbs(a: jnp.ndarray, b: jnp.ndarray):
     """(a + b) over 16-bit limbs -> (sum limbs, carry in {0,1})."""
-    return _propagate(a + b)
+    s = a + b  # <= 2^17 - 2
+    gen = s >> LIMB_BITS  # 0/1
+    prop = ((s & _MASK) == _MASK).astype(_U32)
+    carry_in = _ks_carries(gen, prop)
+    total = s + carry_in
+    carry_out = total[..., -1] >> LIMB_BITS
+    return total & _MASK, carry_out
 
 
 def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
     """(a - b) over 16-bit limbs -> (difference limbs, borrow in {0,1})."""
-    L = a.shape[-1]
-    out = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=_U32)
-    for k in range(L):
-        # uint32 wrap-around: if the true difference is negative the high
-        # half of d is all ones, so (d >> 16) & 1 == 1 exactly on borrow.
-        d = a[..., k] - b[..., k] - borrow
-        out.append(d & _MASK)
-        borrow = (d >> LIMB_BITS) & np.uint32(1)
-    return jnp.stack(out, axis=-1), borrow
+    gen = (a < b).astype(_U32)
+    prop = (a == b).astype(_U32)
+    borrow_in = _ks_carries(gen, prop)
+    d = a - b - borrow_in
+    borrow_out = (a[..., -1] - b[..., -1] - borrow_in[..., -1]) >> 31
+    return d & _MASK, borrow_out
+
+
+def _normalize(cols: jnp.ndarray):
+    """Redundant columns (< 2^31, high halves < 2^15) -> exact 16-bit
+    limbs + integer carry-out beyond the top limb."""
+    lo = cols & _MASK
+    hi = cols >> LIMB_BITS
+    s = lo + _shift_up(hi, 1)  # < 2^16 + 2^15: carries in {0,1}
+    gen = s >> LIMB_BITS
+    prop = ((s & _MASK) == _MASK).astype(_U32)
+    carry_in = _ks_carries(gen, prop)
+    total = s + carry_in
+    carry_out = hi[..., -1] + (total[..., -1] >> LIMB_BITS)
+    return total & _MASK, carry_out
+
+
+def _propagate(cols: jnp.ndarray):
+    """Back-compat alias of _normalize."""
+    return _normalize(cols)
 
 
 def _cond_sub_modulus(spec: FieldSpec, x: jnp.ndarray, carry: jnp.ndarray):
@@ -122,14 +152,34 @@ def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask[..., None], a, b)
 
 
+def _antidiag_sum(P: jnp.ndarray) -> jnp.ndarray:
+    """Sum the anti-diagonals of the trailing [L, L] axes: out[k] =
+    sum_{i+j=k} P[..., i, j], k in [0, 2L-1).  Pure reshape trick
+    (pad rows to 2L, flatten, drop tail, re-fold): flat index i*2L + j
+    equals position (i, i+j) in a width-(2L-1) grid."""
+    *batch, L, _ = P.shape
+    D = 2 * L - 1
+    pad = [(0, 0)] * len(batch) + [(0, 0), (0, L)]
+    flat = jnp.pad(P, pad).reshape(*batch, 2 * L * L)[..., : L * D]
+    return flat.reshape(*batch, L, D).sum(axis=-2)
+
+
 def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a * b * R^-1 mod p.
 
-    Column-accumulating schoolbook product with interleaved Montgomery
-    reduction — semantically the reference's no-carry CIOS
-    (montgomery_backend.rs:148-215) but with all carries deferred into
-    32-bit column accumulators (lazy reduction), which is the natural
-    formulation for 16-bit limbs on 32-bit vector lanes.
+    Semantically the reference's no-carry CIOS
+    (montgomery_backend.rs:148-215), formulated for vector units and
+    small compiled programs:
+
+      * the full schoolbook product is ONE broadcast multiply
+        [..., L, 1] x [..., 1, L] followed by an anti-diagonal fold —
+        no per-limb scatter ops;
+      * the interleaved Montgomery reduction (inherently sequential in
+        the limb index) runs as a lax.fori_loop whose body touches an
+        (L+1)-wide window — compiled once, executed L times;
+      * carries stay lazy in 32-bit column accumulators (bounded by
+        ~L * 2^17 << 2^32) and are resolved once at the end with a
+        log-depth Kogge–Stone prefix.
     """
     L = spec.n_limbs
     a, b = jnp.broadcast_arrays(a, b)
@@ -137,20 +187,41 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     p = _const(spec.p_limbs)
     inv = np.uint32(spec.inv16)
 
+    P = a[..., :, None] * b[..., None, :]  # exact: (2^16-1)^2 < 2^32
+    c_lo = _antidiag_sum(P & _MASK)  # [..., 2L-1], <= L * (2^16-1)
+    c_hi = _antidiag_sum(P >> LIMB_BITS)
     cols = jnp.zeros(batch + (2 * L + 1,), dtype=_U32)
-    # accumulate partial products
-    for i in range(L):
-        prod = a[..., i : i + 1] * b  # exact: (2^16-1)^2 < 2^32
-        cols = cols.at[..., i : i + L].add(prod & _MASK)
-        cols = cols.at[..., i + 1 : i + L + 1].add(prod >> LIMB_BITS)
-    # interleaved Montgomery reduction, one limb at a time
-    for i in range(L):
-        m = ((cols[..., i] & _MASK) * inv) & _MASK
-        mp = m[..., None] * p
-        cols = cols.at[..., i : i + L].add(mp & _MASK)
-        cols = cols.at[..., i + 1 : i + L + 1].add(mp >> LIMB_BITS)
-        cols = cols.at[..., i + 1].add(cols[..., i] >> LIMB_BITS)
-    res, carry = _propagate(cols[..., L : 2 * L + 1])
+    cols = cols.at[..., : 2 * L - 1].add(c_lo)
+    cols = cols.at[..., 1 : 2 * L].add(c_hi)
+
+    zero1 = jnp.zeros(batch + (1,), dtype=_U32)
+
+    if isinstance(a, jax.core.Tracer):
+        # under jit: O(1)-size compiled loop body
+        def red_body(i, cols):
+            window = jax.lax.dynamic_slice_in_dim(cols, i, L + 1, axis=-1)
+            m = ((window[..., 0] & _MASK) * inv) & _MASK
+            mp = m[..., None] * p
+            window = (
+                window
+                + jnp.concatenate([mp & _MASK, zero1], axis=-1)
+                + jnp.concatenate([zero1, mp >> LIMB_BITS], axis=-1)
+            )
+            window = window.at[..., 1].add(window[..., 0] >> LIMB_BITS)
+            return jax.lax.dynamic_update_slice_in_dim(cols, window, i, axis=-1)
+
+        cols = jax.lax.fori_loop(0, L, red_body, cols)
+    else:
+        # eager: a fori_loop would re-trace and re-COMPILE its body on
+        # every call (the closure is fresh each time); plain unrolled ops
+        # dispatch through the per-op eager cache instead.
+        for i in range(L):
+            m = ((cols[..., i] & _MASK) * inv) & _MASK
+            mp = m[..., None] * p
+            cols = cols.at[..., i : i + L].add(mp & _MASK)
+            cols = cols.at[..., i + 1 : i + L + 1].add(mp >> LIMB_BITS)
+            cols = cols.at[..., i + 1].add(cols[..., i] >> LIMB_BITS)
+    res, carry = _normalize(cols[..., L : 2 * L + 1])
     carry = carry + res[..., L]  # top column folds into the carry bit
     return _cond_sub_modulus(spec, res[..., :L], carry)
 

@@ -65,6 +65,25 @@ def powers_from_device(spec: FieldSpec, base: jnp.ndarray, n: int) -> jnp.ndarra
     return table[:n]
 
 
+def powers_from_device_batch(spec: FieldSpec, bases: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[R, L] traced bases -> [R, n, L] tables with table[r, i] = bases[r]^i
+    (per-row doubling; used by the sharded four-step NTT twiddle)."""
+    R = bases.shape[0]
+    one = jnp.broadcast_to(
+        jnp.asarray(spec.one_mont_limbs, jnp.uint32), (R, 1, spec.n_limbs)
+    )
+    table = one
+    factor = bases[:, None, :]
+    k = 1
+    while k < n:
+        table = jnp.concatenate(
+            [table, mont.mul(spec, table, factor)], axis=1
+        )
+        factor = mont.square(spec, factor)
+        k *= 2
+    return table[:, :n]
+
+
 def fft_stages(spec: FieldSpec, x: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarray:
     """In-place-order DIT butterflies; x must already be bit-reversed.
 

@@ -1,0 +1,105 @@
+"""BLS12-family pairings, batched over pairs.
+
+TPU-native re-design of the reference's BLS12 engine
+(ec/src/models/bls12/{mod,g2}.rs): the Miller loop is sequential in the
+bits of the curve parameter X (a fixed host constant, unrolled at trace
+time) but embarrassingly parallel across pairs — every step is a batched
+Fp12 square + sparse line multiplication over all lanes at once.  G2
+preparation (the homogeneous-projective line-coefficient recurrence of
+eprint 2013/722) is fused into the loop rather than materialized as a
+list, so no per-pair host work remains.
+
+Final exponentiation = easy part f^((p^6-1)(p^2+1)) + the eprint
+2020/875 hard-part chain, exactly the reference's schedule
+(bls12/mod.rs:88-156), with Granger–Scott cyclotomic squarings.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .common import PairingEngine
+
+
+class Bls12(PairingEngine):
+    def __init__(self, g1, g2, fq12, x_abs: int, x_is_negative: bool,
+                 twist_type: str = "M"):
+        super().__init__(g1, g2, fq12, twist_type)
+        self.x_abs = int(x_abs)
+        self.x_is_negative = bool(x_is_negative)
+
+    # ------------------------------------------------------------ miller loop
+    def miller_loop(self, p_aff, q_aff):
+        """Batched Miller loop over the bits of |X| (bls12/mod.rs:46-86),
+        expressed as a lax.scan over the (static) bit array so the
+        compiled program is O(1) in the loop length.  Add-steps are
+        computed every iteration and selected by the bit (X has low
+        Hamming weight, so this trades ~30% extra multiplies for a 60x
+        smaller XLA program).
+
+        Lanes where either input is infinity yield 1 (the reference
+        filters such pairs out up front, bls12/mod.rs:55-62)."""
+        import jax
+
+        F2, F12 = self.fq2, self.fq12
+        px, py, p_inf = p_aff
+        qx, qy, q_inf = q_aff
+        shape = self.fq.batch_shape(px)
+
+        r0 = (qx, qy, F2.one(shape))
+        f0 = F12.one(shape)
+        bits = jnp.asarray(
+            [b == "1" for b in bin(self.x_abs)[2:][1:]], dtype=jnp.bool_
+        )
+
+        def sel_pt(mask, a, b):
+            return tuple(F2.select(mask, x, y) for x, y in zip(a, b))
+
+        def body(carry, bit):
+            f, r = carry
+            f = F12.square(f)
+            r, coeffs = self._double_step(r, shape)
+            f = self._ell(f, coeffs, px, py)
+            r_add, coeffs_add = self._add_step(r, (qx, qy))
+            f_add = self._ell(f, coeffs_add, px, py)
+            m = jnp.broadcast_to(bit, shape)
+            f = F12.select(m, f_add, f)
+            r = sel_pt(m, r_add, r)
+            return (f, r), None
+
+        (f, _), _ = jax.lax.scan(body, (f0, r0), bits)
+        if self.x_is_negative:
+            f = F12.cyclotomic_inverse(f)
+        skip = jnp.logical_or(p_inf, q_inf)
+        return F12.select(skip, F12.one(shape), f)
+
+    # ----------------------------------------------------- final exponentiation
+    def _exp_by_x(self, f):
+        r = self.fq12.cyclotomic_exp(f, self.x_abs)
+        if self.x_is_negative:
+            r = self.fq12.cyclotomic_inverse(r)
+        return r
+
+    def final_exponentiation(self, f):
+        F12 = self.fq12
+        r = self._easy_part(f)
+        # hard part (eprint 2020/875 chain, bls12/mod.rs:114-156)
+        y0 = F12.cyclotomic_square(r)
+        y1 = self._exp_by_x(r)
+        y2 = F12.cyclotomic_inverse(r)
+        y1 = F12.mul(y1, y2)
+        y2 = self._exp_by_x(y1)
+        y1 = F12.cyclotomic_inverse(y1)
+        y1 = F12.mul(y1, y2)
+        y2 = self._exp_by_x(y1)
+        y1 = F12.frobenius(y1, 1)
+        y1 = F12.mul(y1, y2)
+        r = F12.mul(r, y0)
+        y0 = self._exp_by_x(y1)
+        y2 = self._exp_by_x(y0)
+        y0 = F12.frobenius(y1, 2)
+        y1 = F12.cyclotomic_inverse(y1)
+        y1 = F12.mul(y1, y2)
+        y1 = F12.mul(y1, y0)
+        r = F12.mul(r, y1)
+        return r

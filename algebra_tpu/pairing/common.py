@@ -1,0 +1,144 @@
+"""Shared pairing machinery for the BLS12/BN families.
+
+Both families use the same homogeneous-projective G2 line-coefficient
+recurrences (eprint 2013/722; reference bls12/g2.rs:109-156 and
+bn/g2.rs:48-95 are identical) and the same sparse line multiplication
+dispatch by twist type (bls12/mod.rs ell, bn/mod.rs ell); they differ in
+loop schedule and final exponentiation, implemented in the subclasses.
+All operations are batched over pairs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.fp12 import Fp12Field
+
+
+class PairingEngine:
+    def __init__(self, g1, g2, fq12: Fp12Field, twist_type: str = "M"):
+        self.g1 = g1
+        self.g2 = g2
+        self.fq12 = fq12
+        self.fq2 = fq12.fp2
+        self.fq = g1.base
+        self.twist_type = twist_type
+        p = self.fq.spec.modulus
+        self.two_inv_host = pow(2, -1, p)
+        self.twist_b_host = g2.b_host
+
+    # ----------------------------------------------------- G2 prepare steps
+    def _double_step(self, r, shape):
+        F2, F = self.fq2, self.fq
+        x, y, z = r
+        two_inv = F.constant(self.two_inv_host, shape)
+        a = F2.mul_by_base(F2.mul(x, y), two_inv)
+        b = F2.square(y)
+        c = F2.square(z)
+        three_c = F2.add(F2.double(c), c)
+        e = F2.mul(F2.constant(self.twist_b_host, shape), three_c)
+        f = F2.add(F2.double(e), e)
+        g = F2.mul_by_base(F2.add(b, f), two_inv)
+        h = F2.sub(F2.square(F2.add(y, z)), F2.add(b, c))
+        i = F2.sub(e, b)
+        j = F2.square(x)
+        e_sq = F2.square(e)
+        new_x = F2.mul(a, F2.sub(b, f))
+        new_y = F2.sub(F2.square(g), F2.add(F2.double(e_sq), e_sq))
+        new_z = F2.mul(b, h)
+        if self.twist_type == "M":
+            coeffs = (i, F2.add(F2.double(j), j), F2.neg(h))
+        else:
+            coeffs = (F2.neg(h), F2.add(F2.double(j), j), i)
+        return (new_x, new_y, new_z), coeffs
+
+    def _add_step(self, r, q_aff):
+        F2 = self.fq2
+        x, y, z = r
+        qx, qy = q_aff
+        theta = F2.sub(y, F2.mul(qy, z))
+        lam = F2.sub(x, F2.mul(qx, z))
+        c = F2.square(theta)
+        d = F2.square(lam)
+        e = F2.mul(lam, d)
+        f = F2.mul(z, c)
+        g = F2.mul(x, d)
+        h = F2.sub(F2.add(e, f), F2.double(g))
+        new_x = F2.mul(lam, h)
+        new_y = F2.sub(F2.mul(theta, F2.sub(g, h)), F2.mul(e, y))
+        new_z = F2.mul(z, e)
+        j = F2.sub(F2.mul(theta, qx), F2.mul(lam, qy))
+        if self.twist_type == "M":
+            coeffs = (j, F2.neg(theta), lam)
+        else:
+            coeffs = (lam, F2.neg(theta), j)
+        return (new_x, new_y, new_z), coeffs
+
+    def _ell(self, f, coeffs, px, py):
+        F2 = self.fq2
+        c0, c1, c2 = coeffs
+        if self.twist_type == "M":
+            c2 = F2.mul_by_base(c2, py)
+            c1 = F2.mul_by_base(c1, px)
+            return self.fq12.mul_by_014(f, c0, c1, c2)
+        c0 = F2.mul_by_base(c0, py)
+        c1 = F2.mul_by_base(c1, px)
+        return self.fq12.mul_by_034(f, c0, c1, c2)
+
+    # ------------------------------------------------------------ easy part
+    def _easy_part(self, f):
+        """f^((p^6 - 1)(p^2 + 1)) — shared by BLS12 and BN
+        (bls12/mod.rs:96-112, bn/mod.rs easy part)."""
+        F12 = self.fq12
+        f1 = F12.conjugate(f)
+        f2 = F12.inverse(f)
+        r = F12.mul(f1, f2)
+        f2 = r
+        r = F12.frobenius(r, 2)
+        return F12.mul(r, f2)
+
+    # ------------------------------------------------------------- public API
+    def miller_loop(self, p_aff, q_aff):
+        raise NotImplementedError
+
+    def final_exponentiation(self, f):
+        raise NotImplementedError
+
+    def pairing(self, p_aff, q_aff):
+        return self.final_exponentiation(self.miller_loop(p_aff, q_aff))
+
+    def multi_miller_loop(self, p_aff, q_aff, axis=0):
+        f = self.miller_loop(p_aff, q_aff)
+        return field_prod(self.fq12, f, axis=axis)
+
+    def multi_pairing(self, p_aff, q_aff, axis=0):
+        return self.final_exponentiation(
+            self.multi_miller_loop(p_aff, q_aff, axis=axis)
+        )
+
+
+def field_prod(field, value, axis=0):
+    """Product of a batched field value along one axis (tree reduction)."""
+    n = jax.tree_util.tree_leaves(value)[0].shape[axis]
+    while n > 1:
+        half = n // 2
+        lo = jax.tree_util.tree_map(
+            lambda a: jax.lax.slice_in_dim(a, 0, half, axis=axis), value
+        )
+        hi = jax.tree_util.tree_map(
+            lambda a: jax.lax.slice_in_dim(a, half, 2 * half, axis=axis), value
+        )
+        combined = field.mul(lo, hi)
+        if n % 2:
+            last = jax.tree_util.tree_map(
+                lambda a: jax.lax.slice_in_dim(a, n - 1, n, axis=axis), value
+            )
+            combined = jax.tree_util.tree_map(
+                lambda c, l: jnp.concatenate([c, l], axis=axis), combined, last
+            )
+            n = half + 1
+        else:
+            n = half
+        value = combined
+    return jax.tree_util.tree_map(lambda a: jnp.squeeze(a, axis=axis), value)

@@ -1,14 +1,29 @@
 """Test configuration: force the CPU backend with 8 virtual devices.
 
-Must run before jax is imported anywhere.  Tests exercise the identical
-uint32 kernels that run on TPU; the 8 virtual CPU devices validate the
-multi-chip sharding paths (mesh + collectives) without TPU hardware.
+Tests exercise the identical uint32 kernels that run on TPU; the 8
+virtual CPU devices validate the multi-chip sharding paths (mesh +
+collectives) without TPU hardware.
+
+IMPORTANT: in the TPU-tunnel environment a sitecustomize hook registers
+the remote 'axon' PJRT plugin in EVERY python process at interpreter
+start (before this file runs) and all sessions serialize on the single
+tunnel.  If that hook already ran, we re-exec the test process with the
+tunnel env stripped so tests never touch (or block on) the TPU.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
+    "_ALGEBRA_TPU_TESTS_REEXEC"
+):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_ALGEBRA_TPU_TESTS_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,71 @@
+"""MSM tests vs naive host oracle (mirrors test-templates/src/msm.rs:17-55
+``test_var_base_msm``: MSM == sum of scalar muls)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from algebra_tpu.bigint import batch_int_to_limbs
+from algebra_tpu.curves.instances import bls12_381, secp256k1
+from algebra_tpu.ops import msm as msm_mod
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return random.Random(555)
+
+
+def naive_msm(curve, pts, scalars):
+    acc = None
+    for p, k in zip(pts, scalars):
+        acc = curve.host_add(acc, curve.host_mul(p, k))
+    return acc
+
+
+@pytest.mark.parametrize("n,c", [(8, 4), (33, 5)])
+def test_msm_secp256k1(rng, n, c):
+    curve = secp256k1.g1()
+    pts = curve.random_host(rng, n)
+    scalars = [rng.randrange(curve.scalar_modulus) for _ in range(n)]
+    scalars[0] = 0  # edge: zero scalar
+    bases = curve.from_host(pts)
+    sc = jnp.asarray(batch_int_to_limbs(scalars, 16))
+    got = curve.to_host(jax.jit(lambda b, s: msm_mod.msm(curve, b, s, c=c))(bases, sc))
+    assert got == naive_msm(curve, pts, scalars)
+
+
+def test_msm_with_infinity_base(rng):
+    curve = secp256k1.g1()
+    pts = curve.random_host(rng, 7) + [None]
+    scalars = [rng.randrange(curve.scalar_modulus) for _ in range(8)]
+    bases = curve.from_host(pts)
+    sc = jnp.asarray(batch_int_to_limbs(scalars, 16))
+    got = curve.to_host(jax.jit(lambda b, s: msm_mod.msm(curve, b, s, c=4))(bases, sc))
+    assert got == naive_msm(curve, pts[:7], scalars[:7])
+
+
+def test_msm_bls12_381_g1(rng):
+    curve = bls12_381.g1()
+    n = 16
+    pts = curve.random_host(rng, n)
+    scalars = [rng.randrange(curve.scalar_modulus) for _ in range(n)]
+    bases = curve.from_host(pts)
+    sc = jnp.asarray(batch_int_to_limbs(scalars, 16))
+    got = curve.to_host(jax.jit(lambda b, s: msm_mod.msm(curve, b, s, c=4))(bases, sc))
+    assert got == naive_msm(curve, pts, scalars)
+
+
+def test_signed_digits_reconstruct(rng):
+    """digits recombine to the scalar: sum d_i * 2^(c*i)."""
+    import numpy as np
+
+    c = 7
+    scalars = [rng.randrange(1 << 256) for _ in range(20)]
+    arr = jnp.asarray(batch_int_to_limbs(scalars, 16))
+    nw = 256 // c + 1
+    digits = np.asarray(msm_mod.signed_digits(arr, c, nw))
+    for j, k in enumerate(scalars):
+        recon = sum(int(digits[w, j]) << (c * w) for w in range(nw))
+        assert recon == k, f"scalar {j}"
