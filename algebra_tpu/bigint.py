@@ -52,12 +52,15 @@ def limbs_to_int(limbs) -> int:
 
 
 def batch_int_to_limbs(xs, n_limbs: int, dtype=np.uint32) -> np.ndarray:
-    """Convert an iterable of ints to a [len(xs), n_limbs] limb array."""
+    """Convert an iterable of ints to a [len(xs), n_limbs] limb array.
+
+    Bulk path: each int serializes to little-endian bytes (C-speed) and
+    the whole buffer reinterprets as 16-bit limbs."""
     xs = list(xs)
-    out = np.zeros((len(xs), n_limbs), dtype=dtype)
-    for j, x in enumerate(xs):
-        out[j] = int_to_limbs(x, n_limbs, dtype=dtype)
-    return out
+    nb = 2 * n_limbs
+    buf = b"".join(int(x).to_bytes(nb, "little") for x in xs)
+    arr = np.frombuffer(buf, dtype="<u2").reshape(len(xs), n_limbs)
+    return arr.astype(dtype)
 
 
 def batch_limbs_to_int(arr) -> list:

@@ -71,30 +71,38 @@ class CubicExtField(Field):
 
     def mul(self, a, b):
         # Karatsuba CH-SQR3-style 6-multiplication formula
-        # (cubic_extension.rs Mul impl).
+        # (cubic_extension.rs Mul impl), with all six independent base
+        # products stacked into ONE base-mul call (see quadratic.py mul).
         B = self.base
         a0, a1, a2 = a
         b0, b1, b2 = b
-        v0, v1, v2 = B.mul(a0, b0), B.mul(a1, b1), B.mul(a2, b2)
-        t0 = B.sub(B.sub(B.mul(B.add(a1, a2), B.add(b1, b2)), v1), v2)
+        sa = B.stack([a0, a1, a2, B.add(a1, a2), B.add(a0, a1), B.add(a0, a2)])
+        sb = B.stack([b0, b1, b2, B.add(b1, b2), B.add(b0, b1), B.add(b0, b2)])
+        prod = B.mul(sa, sb)
+        v0, v1, v2 = (B.index(prod, i) for i in range(3))
+        m12, m01, m02 = (B.index(prod, i) for i in range(3, 6))
+        t0 = B.sub(B.sub(m12, v1), v2)
         c0 = B.add(v0, self.mul_by_nonresidue(t0))
-        t1 = B.sub(B.sub(B.mul(B.add(a0, a1), B.add(b0, b1)), v0), v1)
+        t1 = B.sub(B.sub(m01, v0), v1)
         c1 = B.add(t1, self.mul_by_nonresidue(v2))
-        t2 = B.sub(B.sub(B.mul(B.add(a0, a2), B.add(b0, b2)), v0), v2)
+        t2 = B.sub(B.sub(m02, v0), v2)
         c2 = B.add(t2, v1)
         return (c0, c1, c2)
 
     def square(self, a):
-        # CH-SQR2 squaring (cubic_extension.rs square_in_place).
+        # CH-SQR2 squaring (cubic_extension.rs square_in_place), products
+        # stacked into one base-mul call.
         B = self.base
         a0, a1, a2 = a
-        s0 = B.square(a0)
-        ab = B.mul(a0, a1)
-        s1 = B.double(ab)
-        s2 = B.square(B.add(B.sub(a0, a1), a2))
-        bc = B.mul(a1, a2)
-        s3 = B.double(bc)
-        s4 = B.square(a2)
+        t = B.add(B.sub(a0, a1), a2)
+        sa = B.stack([a0, a0, t, a1, a2])
+        sb = B.stack([a0, a1, t, a2, a2])
+        prod = B.mul(sa, sb)
+        s0 = B.index(prod, 0)
+        s1 = B.double(B.index(prod, 1))
+        s2 = B.index(prod, 2)
+        s3 = B.double(B.index(prod, 3))
+        s4 = B.index(prod, 4)
         c0 = B.add(s0, self.mul_by_nonresidue(s3))
         c1 = B.add(s1, self.mul_by_nonresidue(s4))
         c2 = B.sub(B.add(B.add(s1, s2), s3), B.add(s0, s4))  # s1+s2+s3-s0-s4

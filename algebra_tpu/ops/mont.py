@@ -181,9 +181,15 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         ~L * 2^17 << 2^32) and are resolved once at the end with a
         log-depth Kogge–Stone prefix.
     """
+    from .. import config
+
     L = spec.n_limbs
     a, b = jnp.broadcast_arrays(a, b)
     batch = a.shape[:-1]
+    if config.pallas_enabled() and int(np.prod(batch or (1,))) >= config.pallas_min_batch:
+        from . import mont_pallas
+
+        return mont_pallas.mul(spec, a, b)
     p = _const(spec.p_limbs)
     inv = np.uint32(spec.inv16)
 

@@ -188,6 +188,32 @@ def _tree_sum(curve, P, axis: int):
     return jax.tree_util.tree_map(lambda a: jnp.squeeze(a, axis=axis), P)
 
 
+def msm_chunks(curve, bases_aff, scalars: jnp.ndarray, chunk: int = 1 << 20,
+               c: int | None = None):
+    """Streaming MSM over host-resident inputs: device-sized chunks are
+    MSM'd independently and their partial points accumulated — the
+    reference's ``msm_chunks`` / ChunkedPippenger streaming mode
+    (variable_base/mod.rs:54-85, stream_pippenger.rs:10-60).  Each
+    partial is one Jacobian point, so checkpoint/resume costs 3 field
+    elements per chunk boundary."""
+    n = scalars.shape[0]
+    if c is None:
+        c = default_window_size(min(n, chunk))
+    total = None
+    x, y, inf = bases_aff
+    for off in range(0, n, chunk):
+        end = min(off + chunk, n)
+        part = msm(
+            curve,
+            (_tree_take(x, slice(off, end)), _tree_take(y, slice(off, end)),
+             inf[off:end]),
+            scalars[off:end],
+            c=c,
+        )
+        total = part if total is None else curve.add(total, part)
+    return total
+
+
 def msm_mont(curve, scalar_spec: FieldSpec, bases_aff, scalars_mont, c=None):
     """MSM with Montgomery-form scalar field elements (converts to
     canonical bigints first, like the reference's msm -> msm_bigint)."""

@@ -1,0 +1,192 @@
+"""Benchmark runner — the TPU analogue of the reference's criterion
+bench-templates (bench-templates/src/macros/{field,ec,pairing}.rs and
+poly/benches/fft.rs).
+
+Usage:  python benches/run_benches.py [field|ntt|msm|pairing|all] [--json]
+
+Runs on whatever backend JAX selects (the TPU chip under axon).  Each
+benchmark prints one JSON line compatible with bench.py's schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync_fetch(x):
+    import jax
+
+    return np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:4]))
+
+
+def _time(fn, iters=3):
+    fn()  # warm/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    _sync_fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def report(metric, value, unit, baseline=None):
+    rec = {"metric": metric, "value": value, "unit": unit}
+    if baseline:
+        rec["vs_baseline"] = value / baseline
+    print(json.dumps(rec), flush=True)
+
+
+def bench_field(n=1 << 20, reps=16):
+    import jax
+    import jax.numpy as jnp
+
+    from algebra_tpu.bigint import batch_int_to_limbs
+    from algebra_tpu.curves.instances.bls12_381 import fr_spec, fq_spec
+    from algebra_tpu.ops import mont
+
+    rng = np.random.default_rng(7)
+    for spec, name in ((fr_spec, "fr"), (fq_spec, "fq")):
+        nb = (spec.modulus_bit_size - 2) // 8
+        a = jnp.asarray(batch_int_to_limbs(
+            [int.from_bytes(rng.bytes(nb), "little") for _ in range(n)], spec.n_limbs))
+        b = jnp.asarray(batch_int_to_limbs(
+            [int.from_bytes(rng.bytes(nb), "little") for _ in range(n)], spec.n_limbs))
+
+        @jax.jit
+        def chain(a, b):
+            x = a
+            for _ in range(reps):
+                x = mont.mul(spec, x, b)
+            return x
+
+        state = {"x": a}
+
+        def run():
+            state["x"] = chain(state["x"], b)
+            return state["x"]
+
+        dt = _time(run)
+        report(f"bls12_381_{name}_mont_mults_per_s", n * reps / dt, "mults/s",
+               1e8 if name == "fr" else None)
+
+
+def bench_ntt(log_sizes=(16, 20, 22)):
+    import jax
+    import jax.numpy as jnp
+
+    from algebra_tpu.bigint import batch_int_to_limbs
+    from algebra_tpu.curves.instances.bls12_381 import Fr, fr_spec
+    from algebra_tpu.poly.domain import Radix2EvaluationDomain
+
+    rng = np.random.default_rng(8)
+    for log_n in log_sizes:
+        n = 1 << log_n
+        domain = Radix2EvaluationDomain(Fr, n)
+        coeffs = jnp.asarray(batch_int_to_limbs(
+            [int.from_bytes(rng.bytes(31), "little") for _ in range(n)],
+            fr_spec.n_limbs))
+
+        def run():
+            return domain.fft(coeffs)
+
+        dt = _time(run)
+        report(f"bls12_381_fr_ntt_2e{log_n}_s", dt, "s")
+
+
+def bench_msm(log_sizes=(16, 18, 20), curve_name="g1"):
+    import jax
+    import jax.numpy as jnp
+
+    from algebra_tpu.bigint import batch_int_to_limbs
+    from algebra_tpu.curves.instances import bls12_381
+    from algebra_tpu.ops import msm as msm_mod
+
+    curve = getattr(bls12_381, curve_name)()
+    rng = np.random.default_rng(9)
+    max_n = 1 << max(log_sizes)
+    # synthetic bases: multiples of the generator by small random factors
+    # (cheap to build at 2^20 scale: random tangent walk on device)
+    base = curve.generator((max_n,))
+    # pseudo-random points: P_i = (i+1) * G via doubling chain is too slow;
+    # use G * random 64-bit scalars with the fixed-base table
+    from algebra_tpu.ops import fixed_base
+
+    ks = [int.from_bytes(rng.bytes(8), "little") for _ in range(max_n)]
+    sc64 = jnp.asarray(batch_int_to_limbs(ks, 4))
+    g0 = curve.index_point(curve.generator(()), ())
+
+    @jax.jit
+    def build_points(sc):
+        table = fixed_base.window_table(curve, curve.generator(()), 8, 64)
+        return fixed_base.msm(curve, table, sc, 8)
+
+    pts = build_points(sc64)
+    aff = curve.to_affine(pts)
+    jax.block_until_ready(aff)
+
+    scalars = jnp.asarray(batch_int_to_limbs(
+        [int.from_bytes(rng.bytes(31), "little") for _ in range(max_n)],
+        bls12_381.fr_spec.n_limbs))
+
+    for log_n in log_sizes:
+        n = 1 << log_n
+        bases_n = (curve.base.index(aff[0], slice(0, n)),
+                   curve.base.index(aff[1], slice(0, n)), aff[2][:n])
+        sc_n = scalars[:n]
+        f = jax.jit(lambda b, s: msm_mod.msm(curve, b, s))
+
+        def run():
+            return f(bases_n, sc_n)
+
+        dt = _time(run)
+        report(f"bls12_381_{curve_name}_msm_2e{log_n}_s", dt, "s")
+
+
+def bench_pairing(batch=16):
+    import jax
+    import jax.numpy as jnp
+
+    from algebra_tpu.curves.instances import bls12_381
+
+    ctx = bls12_381.pairing()
+    g1, g2 = bls12_381.g1(), bls12_381.g2()
+    p = g1.to_affine(g1.generator((batch,)))
+    q = g2.to_affine(g2.generator((batch,)))
+
+    miller = jax.jit(lambda a, b: ctx.miller_loop(a, b))
+    final = jax.jit(lambda f: ctx.final_exponentiation(f))
+
+    dt_m = _time(lambda: miller(p, q))
+    f = miller(p, q)
+    dt_f = _time(lambda: final(f))
+    report("bls12_381_miller_loop_per_pair_s", dt_m / batch, "s")
+    report("bls12_381_final_exp_per_lane_s", dt_f / batch, "s")
+    report("bls12_381_pairing_per_pair_s", (dt_m + dt_f) / batch, "s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("what", nargs="?", default="all",
+                    choices=["field", "ntt", "msm", "pairing", "all"])
+    args = ap.parse_args()
+    t0 = time.time()
+    if args.what in ("field", "all"):
+        bench_field()
+    if args.what in ("ntt", "all"):
+        bench_ntt()
+    if args.what in ("msm", "all"):
+        bench_msm()
+    if args.what in ("pairing", "all"):
+        bench_pairing()
+    print(f"# total {time.time()-t0:.1f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
