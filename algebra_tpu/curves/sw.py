@@ -61,6 +61,24 @@ class SWCurve:
         self.a_is_zero = base.is_zero(base.constant(a_host))
         self.a_is_zero = bool(jax.device_get(self.a_is_zero))
         self.glv = glv
+        from ..fields.prime import PrimeField
+
+        self._prime_base = isinstance(base, PrimeField)
+
+    def _use_fused(self, P):
+        """Fused Pallas group-law kernels: prime base field, a == 0,
+        large batch, TPU backend."""
+        if not (self._prime_base and self.a_is_zero):
+            return False
+        from .. import config
+
+        if not config.pallas_enabled():
+            return False
+        import numpy as np
+
+        shape = self.base.batch_shape(P[0])
+        n = int(np.prod(shape)) if shape else 1
+        return n >= config.pallas_min_batch
 
     # ------------------------------------------------------------ constants
     def zero(self, batch_shape=()):
@@ -159,6 +177,10 @@ class SWCurve:
 
     def add(self, P, Q):
         """Branchless full Jacobian addition (add-2007-bl, group.rs:443)."""
+        if self._use_fused(P):
+            from ..ops import sw_pallas
+
+            return sw_pallas.add(self.base.spec, P, Q)
         B = self.base
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
@@ -187,6 +209,10 @@ class SWCurve:
     def add_mixed(self, P, aff):
         """Branchless mixed addition P(+)= affine Q (madd-2007-bl,
         group.rs:302-319).  ``aff`` is an affine batch (x, y, inf)."""
+        if self._use_fused(P):
+            from ..ops import sw_pallas
+
+            return sw_pallas.madd(self.base.spec, P, aff)
         B = self.base
         X1, Y1, Z1 = P
         X2, Y2, inf2 = aff

@@ -25,56 +25,107 @@ from ..fields.spec import FieldSpec
 _MASK = jnp.uint32(0xFFFF)
 
 
-def _mul_kernel(spec: FieldSpec, a_ref, b_ref, o_ref):
-    # NOTE: all field constants enter as python ints (weak-typed scalars)
-    # — pallas kernels cannot capture jnp array/scalar constants.
+# --------------------------------------------------------------------------
+# limb-major helpers used inside kernels.  All field constants enter as
+# python ints (weak-typed scalars) — pallas kernels cannot capture jnp
+# array/scalar constants.  Values are [L, N] u32 arrays of 16-bit limbs.
+# --------------------------------------------------------------------------
+
+_M16 = 0xFFFF
+
+
+def _lm_mul(spec: FieldSpec, a, b):
+    """Montgomery product over limb-major [L, N] blocks (in-register
+    column accumulation; bit-identical to ops/mont.mul)."""
     L = spec.n_limbs
     p_list = [int(x) for x in spec.p_limbs]
     inv = int(spec.inv16)
-    MASK = 0xFFFF
-
-    a = a_ref[...].T  # [L, NB]
-    b = b_ref[...].T
-
-    # column accumulators as a python list of [NB] rows (registers)
     nb = a.shape[1]
     cols = [jnp.zeros((nb,), jnp.uint32) for _ in range(2 * L + 1)]
     for i in range(L):
         prod = a[i][None, :] * b  # [L, NB]
-        lo = prod & MASK
+        lo = prod & _M16
         hi = prod >> 16
         for j in range(L):
             cols[i + j] = cols[i + j] + lo[j]
             cols[i + j + 1] = cols[i + j + 1] + hi[j]
     for i in range(L):
-        m = ((cols[i] & MASK) * inv) & MASK
+        m = ((cols[i] & _M16) * inv) & _M16
         for j in range(L):
             mp = m * p_list[j]
-            cols[i + j] = cols[i + j] + (mp & MASK)
+            cols[i + j] = cols[i + j] + (mp & _M16)
             cols[i + j + 1] = cols[i + j + 1] + (mp >> 16)
         cols[i + 1] = cols[i + 1] + (cols[i] >> 16)
-
     # propagate cols[L:2L+1] -> limbs + carry
     out_rows = []
     carry = jnp.zeros((nb,), jnp.uint32)
     for k in range(L):
         v = cols[L + k] + carry
-        out_rows.append(v & MASK)
+        out_rows.append(v & _M16)
         carry = v >> 16
     carry = carry + cols[2 * L]
     res = jnp.stack(out_rows, axis=0)  # [L, NB]
+    return _lm_cond_sub(spec, res, carry)
 
-    # conditional subtract p
+
+def _lm_cond_sub(spec: FieldSpec, res, carry):
+    """res - p if (carry:res) >= p else res (limb-major)."""
+    L = spec.n_limbs
+    p_list = [int(x) for x in spec.p_limbs]
+    nb = res.shape[1]
     borrow = jnp.zeros((nb,), jnp.uint32)
     d_rows = []
     for k in range(L):
         t = res[k] - p_list[k] - borrow
-        d_rows.append(t & MASK)
+        d_rows.append(t & _M16)
         borrow = (t >> 16) & 1
     d = jnp.stack(d_rows, axis=0)
     ge = jnp.logical_or(carry.astype(bool), jnp.logical_not(borrow.astype(bool)))
-    out = jnp.where(ge[None, :], d, res)
-    o_ref[...] = out.T
+    return jnp.where(ge[None, :], d, res)
+
+
+def _lm_add(spec: FieldSpec, a, b):
+    """Modular addition over limb-major blocks (ripple carries —
+    in-register, so the ripple is cheap here)."""
+    L = spec.n_limbs
+    nb = a.shape[1]
+    s = a + b
+    carry = jnp.zeros((nb,), jnp.uint32)
+    rows = []
+    for k in range(L):
+        v = s[k] + carry
+        rows.append(v & _M16)
+        carry = v >> 16
+    return _lm_cond_sub(spec, jnp.stack(rows, axis=0), carry)
+
+
+def _lm_sub(spec: FieldSpec, a, b):
+    """Modular subtraction over limb-major blocks."""
+    L = spec.n_limbs
+    p_list = [int(x) for x in spec.p_limbs]
+    nb = a.shape[1]
+    borrow = jnp.zeros((nb,), jnp.uint32)
+    d_rows = []
+    for k in range(L):
+        t = a[k] - b[k] - borrow
+        d_rows.append(t & _M16)
+        borrow = (t >> 16) & 1
+    d = jnp.stack(d_rows, axis=0)
+    # if borrow: d += p
+    carry = jnp.zeros((nb,), jnp.uint32)
+    rows = []
+    for k in range(L):
+        v = d[k] + p_list[k] + carry
+        rows.append(v & _M16)
+        carry = v >> 16
+    dp = jnp.stack(rows, axis=0)
+    return jnp.where(borrow.astype(bool)[None, :], dp, d)
+
+
+def _mul_kernel(spec: FieldSpec, a_ref, b_ref, o_ref):
+    a = a_ref[...].T  # [L, NB]
+    b = b_ref[...].T
+    o_ref[...] = _lm_mul(spec, a, b).T
 
 
 @functools.lru_cache(maxsize=None)
@@ -95,6 +146,72 @@ def _mul_call(spec: FieldSpec, n: int, block: int):
 
 
 DEFAULT_BLOCK = 1024
+
+
+def _butterfly_kernel(spec: FieldSpec, reps: int, lo_ref, hi_ref, w_ref,
+                      olo_ref, ohi_ref):
+    """One DIT butterfly stage, fused: t = hi*w; out = (lo+t, lo-t).
+
+    lo/hi blocks are [NB, L]; w is [NB/reps, L] and repeats `reps` times
+    along the block (the stage's twiddle period divides the block)."""
+    lo = lo_ref[...].T  # [L, NB]
+    hi = hi_ref[...].T
+    w = w_ref[...].T  # [L, NB/reps]
+    if reps > 1:
+        w = jnp.tile(w, (1, reps))
+    t = _lm_mul(spec, hi, w)
+    olo_ref[...] = _lm_add(spec, lo, t).T
+    ohi_ref[...] = _lm_sub(spec, lo, t).T
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_call(spec: FieldSpec, n_half: int, half: int, block: int):
+    """n_half: total butterfly count (n/2); half: twiddle period."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    grid = (n_half // block,)
+    dspec = pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if half >= block:
+        # twiddles blocked alongside the data
+        wspec = pl.BlockSpec(
+            (block, L), lambda i: (i % (half // block), 0),
+            memory_space=pltpu.VMEM,
+        )
+        reps = 1
+    else:
+        # whole (small) twiddle table in VMEM, tiled in-kernel
+        wspec = pl.BlockSpec((half, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        reps = block // half
+    return pl.pallas_call(
+        functools.partial(_butterfly_kernel, spec, reps),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_half, L), jnp.uint32),
+            jax.ShapeDtypeStruct((n_half, L), jnp.uint32),
+        ),
+        grid=grid,
+        in_specs=[dspec, dspec, wspec],
+        out_specs=(dspec, dspec),
+    )
+
+
+def butterfly_stage(spec: FieldSpec, lo: jnp.ndarray, hi: jnp.ndarray,
+                    w: jnp.ndarray, block: int = DEFAULT_BLOCK):
+    """Batched butterflies: returns (lo + hi*w, lo - hi*w).
+
+    lo, hi: [n_half, L] flat butterfly operands; w: [half, L] twiddles
+    with period `half` along the flat axis (n_half % half == 0)."""
+    n_half, L = lo.shape
+    half = w.shape[0]
+    blk = min(block, n_half)
+    # block must divide n_half, and interact cleanly with the period
+    while n_half % blk or (half >= blk and half % blk) or (
+        half < blk and blk % half
+    ):
+        blk //= 2
+    return _butterfly_call(spec, n_half, half, blk)(lo, hi, w)
 
 
 def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray,

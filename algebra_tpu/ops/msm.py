@@ -126,28 +126,63 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None):
         lambda row: jnp.searchsorted(row, bucket_ids, side="right")
     )(sorted_key)
     counts = (end - start).astype(jnp.int32)  # [W, B]
-    max_rounds = jnp.max(counts)
 
+    def make_round_body(order_w, start_w, counts_w, isneg_w):
+        def round_body(r, acc):
+            pos = start_w + r
+            valid = r < counts_w
+            idx = jnp.take_along_axis(order_w, jnp.clip(pos, 0, n - 1), axis=1)
+            gx = _tree_take(x, idx)
+            gy = _tree_take(y, idx)
+            gneg = jnp.take_along_axis(isneg_w, idx, axis=1)
+            gy2 = B.select(gneg, B.neg(gy), gy)
+            g_inf = jnp.logical_not(valid)
+            return curve.add_mixed(acc, (gx, gy2, g_inf))
+
+        return round_body
+
+    # The TOP window covers only the leftover high bits (+ recoding carry),
+    # so its digits concentrate in few small buckets: its max occupancy is
+    # ~n / 2^(leftover bits), far above the ~n/B of the full windows.  A
+    # single lockstep loop would burn max-occupancy rounds on ALL windows;
+    # instead: lockstep rounds over every window up to the FULL-window max,
+    # then continue the top window alone on a [1, B] slice.
     zero_pt = curve.zero((num_windows, n_buckets))
-
-    def round_body(r, acc):
-        pos = start + r  # [W, B]
-        valid = r < counts
-        idx = jnp.take_along_axis(order, jnp.clip(pos, 0, n - 1), axis=1)  # [W, B]
-        gx = _tree_take(x, idx)
-        gy = _tree_take(y, idx)
-        gneg = jnp.take_along_axis(is_neg, idx, axis=1)
-        gy = B.select(gneg, B.neg(gy), gy)
-        g_inf = jnp.logical_not(valid)
-        return curve.add_mixed(acc, (gx, gy, g_inf))
-
-    buckets = jax.lax.fori_loop(0, max_rounds, round_body, zero_pt)
-
-    # weighted bucket reduction: sum_m m*S_m = sum_k suffix_k
-    suffix = jax.lax.associative_scan(
-        lambda a, b: curve.add(a, b), buckets, axis=1, reverse=True
+    is_neg_b = jnp.broadcast_to(is_neg, (num_windows, n))
+    rounds_full = jnp.max(counts[:-1]) if num_windows > 1 else jnp.max(counts)
+    buckets = jax.lax.fori_loop(
+        0,
+        rounds_full,
+        make_round_body(order, start, counts, is_neg_b),
+        zero_pt,
     )
-    window_sums = _tree_sum(curve, suffix, axis=1)  # [W]
+    if num_windows > 1:
+        rounds_top = jnp.max(counts[-1])
+        top = curve.index_point(buckets, slice(num_windows - 1, None))
+        top = jax.lax.fori_loop(
+            rounds_full,
+            jnp.maximum(rounds_top, rounds_full),
+            make_round_body(
+                order[-1:], start[-1:], counts[-1:], is_neg_b[-1:]
+            ),
+            top,
+        )
+        buckets = tuple(
+            jax.tree_util.tree_map(
+                lambda full, t: jnp.concatenate([full[:-1], t], axis=0),
+                coord_full,
+                coord_top,
+            )
+            for coord_full, coord_top in zip(buckets, top)
+        )
+
+    # weighted bucket reduction: sum_m m*S_m = sum_k suffix_k.
+    # Hillis–Steele suffix scans keep the batch shape FIXED at [W, B]
+    # every step, so the whole reduction reuses ONE compiled add kernel
+    # (a halving tree would compile log B distinct shapes).
+    suffix = _hs_suffix_scan(curve, buckets, n_buckets)
+    summed = _hs_suffix_scan(curve, suffix, n_buckets)  # T_k = sum_{j>=k}
+    window_sums = curve.index_point(summed, (slice(None), 0))  # [W]
 
     # Horner fold over windows, most significant first, as a scan
     # (unrolling W * c doublings made the XLA graph enormous).
@@ -160,6 +195,33 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None):
 
     total, _ = jax.lax.scan(fold, curve.zero(()), wsums_desc)
     return total
+
+
+def _hs_suffix_scan(curve, P, B: int):
+    """Inclusive suffix scan S_k = sum_{m >= k} P_m along axis 1 via
+    Hillis–Steele doubling: log2(B) steps, each one batched add of the
+    full [W, B] point array with out-of-range lanes forced to infinity
+    (z = 0)."""
+    d = 1
+    while d < B:
+        shifted = tuple(
+            jax.tree_util.tree_map(lambda a: jnp.roll(a, -d, axis=1), coord)
+            for coord in P
+        )
+        col = jnp.arange(B)
+        valid = (col + d < B)[None, :]
+        # force wrapped lanes to the identity: z = 0 marks infinity
+        x, y, z = shifted
+        z = jax.tree_util.tree_map(
+            lambda a: jnp.where(
+                valid.reshape(valid.shape + (1,) * (a.ndim - 2)), a,
+                jnp.zeros_like(a)
+            ),
+            z,
+        )
+        P = curve.add(P, (x, y, z))
+        d *= 2
+    return P
 
 
 def _tree_sum(curve, P, axis: int):

@@ -89,20 +89,43 @@ def fft_stages(spec: FieldSpec, x: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarr
 
     x: uint32[..., n, L]; roots: uint32[n/2, L] table of omega^j.
     Stage s uses the stride-(n/m) subsample of the root table.
+
+    On TPU each stage runs as ONE fused Pallas kernel (twiddle multiply +
+    modular add/sub with in-register carries) — ~3 HBM passes per stage
+    instead of the ~15 the composed jnp ops cost.
     """
+    from .. import config
+
     n = x.shape[-2]
+    L = x.shape[-1]
     log_n = n.bit_length() - 1
+    shape = x.shape
+    total = 1
+    for d in shape[:-1]:
+        total *= d
+    use_pallas = config.pallas_enabled() and total // 2 >= config.pallas_min_batch
+
     for s in range(1, log_n + 1):
         m = 1 << s
         half = m >> 1
         w = roots[:: n // m] if m < n else roots  # [half, L]
-        xv = x.reshape(x.shape[:-2] + (n // m, m, x.shape[-1]))
-        lo = xv[..., :half, :]
-        hi = xv[..., half:, :]
-        t = mont.mul(spec, hi, w)
-        x = jnp.concatenate(
-            [mont.add(spec, lo, t), mont.sub(spec, lo, t)], axis=-2
-        ).reshape(x.shape)
+        xv = x.reshape((-1, m, L))
+        if use_pallas:
+            from . import mont_pallas
+
+            lo = xv[:, :half].reshape(-1, L)
+            hi = xv[:, half:].reshape(-1, L)
+            olo, ohi = mont_pallas.butterfly_stage(spec, lo, hi, w)
+            x = jnp.concatenate(
+                [olo.reshape(-1, half, L), ohi.reshape(-1, half, L)], axis=1
+            ).reshape(shape)
+        else:
+            lo = xv[:, :half]
+            hi = xv[:, half:]
+            t = mont.mul(spec, hi, w)
+            x = jnp.concatenate(
+                [mont.add(spec, lo, t), mont.sub(spec, lo, t)], axis=1
+            ).reshape(shape)
     return x
 
 

@@ -1,0 +1,244 @@
+"""Fused Pallas kernels for short-Weierstrass group laws (prime field,
+a = 0): one kernel per batched point-add instead of ~15 separate
+field-op launches.
+
+Mirrors the branchless semantics of curves/sw.py exactly (same EFD
+formulas — dbl-2009-l, add-2007-bl, madd-2007-bl — same exceptional-case
+select order), so results are bit-identical to the jnp path.  Used by
+the MSM hot loops on G1-style curves; extension-field bases (G2) use the
+composed path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.spec import FieldSpec
+from .mont_pallas import _lm_add, _lm_mul, _lm_sub
+
+
+def _lm_dbl(spec, a):
+    return _lm_add(spec, a, a)
+
+
+def _lm_is_zero(a):
+    return (a == 0).all(axis=0)  # [N] bool
+
+
+def _sel(mask, a, b):
+    """mask [N] over limb-major [L, N] values."""
+    return jnp.where(mask[None, :], a, b)
+
+
+def _double_lm(spec, x1, y1, z1):
+    """dbl-2009-l (a = 0), limb-major."""
+    A = _lm_mul(spec, x1, x1)
+    Bv = _lm_mul(spec, y1, y1)
+    C = _lm_mul(spec, Bv, Bv)
+    t = _lm_add(spec, x1, Bv)
+    D = _lm_dbl(spec, _lm_sub(spec, _lm_sub(spec, _lm_mul(spec, t, t), A), C))
+    E = _lm_add(spec, _lm_dbl(spec, A), A)
+    F = _lm_mul(spec, E, E)
+    X3 = _lm_sub(spec, F, _lm_dbl(spec, D))
+    Y3 = _lm_sub(
+        spec,
+        _lm_mul(spec, E, _lm_sub(spec, D, X3)),
+        _lm_dbl(spec, _lm_dbl(spec, _lm_dbl(spec, C))),
+    )
+    Z3 = _lm_dbl(spec, _lm_mul(spec, y1, z1))
+    return X3, Y3, Z3
+
+
+def _madd_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, inf2r,
+                 xo, yo, zo):
+    """P (Jacobian) += Q (affine); inf2r: uint32[N, 1] nonzero = infinity."""
+    x1, y1, z1 = x1r[...].T, y1r[...].T, z1r[...].T  # [L, N]
+    x2, y2 = x2r[...].T, y2r[...].T
+    inf2 = inf2r[...][:, 0] != 0  # [N]
+
+    Z1Z1 = _lm_mul(spec, z1, z1)
+    U2 = _lm_mul(spec, x2, Z1Z1)
+    S2 = _lm_mul(spec, y2, _lm_mul(spec, z1, Z1Z1))
+    H = _lm_sub(spec, U2, x1)
+    r = _lm_dbl(spec, _lm_sub(spec, S2, y1))
+    HH = _lm_mul(spec, H, H)
+    I = _lm_dbl(spec, _lm_dbl(spec, HH))
+    J = _lm_mul(spec, H, I)
+    V = _lm_mul(spec, x1, I)
+    X3 = _lm_sub(spec, _lm_sub(spec, _lm_mul(spec, r, r), J), _lm_dbl(spec, V))
+    Y3 = _lm_sub(
+        spec,
+        _lm_mul(spec, r, _lm_sub(spec, V, X3)),
+        _lm_dbl(spec, _lm_mul(spec, y1, J)),
+    )
+    t = _lm_add(spec, z1, H)
+    Z3 = _lm_sub(spec, _lm_sub(spec, _lm_mul(spec, t, t), Z1Z1), HH)
+
+    Xd, Yd, Zd = _double_lm(spec, x1, y1, z1)
+
+    same = jnp.logical_and(_lm_is_zero(H), _lm_is_zero(r))
+    X3 = _sel(same, Xd, X3)
+    Y3 = _sel(same, Yd, Y3)
+    Z3 = _sel(same, Zd, Z3)
+    # Q at infinity -> P
+    X3 = _sel(inf2, x1, X3)
+    Y3 = _sel(inf2, y1, Y3)
+    Z3 = _sel(inf2, z1, Z3)
+    # P at infinity -> from_affine(Q)  ((1,1,0) if Q infinite)
+    p_inf = _lm_is_zero(z1)
+    # Montgomery one: R mod p limbs as python constants
+    one_rows = [int(v) for v in np.asarray(spec.one_mont_limbs)]
+    one = jnp.stack(
+        [jnp.full((x1.shape[1],), v, jnp.uint32) for v in one_rows], axis=0
+    )
+    zero = jnp.zeros_like(x1)
+    qx = _sel(inf2, one, x2)
+    qy = _sel(inf2, one, y2)
+    qz = _sel(inf2, zero, one)
+    X3 = _sel(p_inf, qx, X3)
+    Y3 = _sel(p_inf, qy, Y3)
+    Z3 = _sel(p_inf, qz, Z3)
+
+    xo[...] = X3.T
+    yo[...] = Y3.T
+    zo[...] = Z3.T
+
+
+def _add_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
+    """Full Jacobian add (add-2007-bl) with exceptional cases."""
+    x1, y1, z1 = x1r[...].T, y1r[...].T, z1r[...].T
+    x2, y2, z2 = x2r[...].T, y2r[...].T, z2r[...].T
+
+    Z1Z1 = _lm_mul(spec, z1, z1)
+    Z2Z2 = _lm_mul(spec, z2, z2)
+    U1 = _lm_mul(spec, x1, Z2Z2)
+    U2 = _lm_mul(spec, x2, Z1Z1)
+    S1 = _lm_mul(spec, y1, _lm_mul(spec, z2, Z2Z2))
+    S2 = _lm_mul(spec, y2, _lm_mul(spec, z1, Z1Z1))
+    H = _lm_sub(spec, U2, U1)
+    r = _lm_dbl(spec, _lm_sub(spec, S2, S1))
+    H2 = _lm_dbl(spec, H)
+    I = _lm_mul(spec, H2, H2)
+    J = _lm_mul(spec, H, I)
+    V = _lm_mul(spec, U1, I)
+    X3 = _lm_sub(spec, _lm_sub(spec, _lm_mul(spec, r, r), J), _lm_dbl(spec, V))
+    Y3 = _lm_sub(
+        spec,
+        _lm_mul(spec, r, _lm_sub(spec, V, X3)),
+        _lm_dbl(spec, _lm_mul(spec, S1, J)),
+    )
+    zs = _lm_add(spec, z1, z2)
+    Z3 = _lm_mul(
+        spec,
+        _lm_sub(spec, _lm_sub(spec, _lm_mul(spec, zs, zs), Z1Z1), Z2Z2),
+        H,
+    )
+
+    Xd, Yd, Zd = _double_lm(spec, x1, y1, z1)
+    same = jnp.logical_and(_lm_is_zero(H), _lm_is_zero(r))
+    X3 = _sel(same, Xd, X3)
+    Y3 = _sel(same, Yd, Y3)
+    Z3 = _sel(same, Zd, Z3)
+    q_inf = _lm_is_zero(z2)
+    X3 = _sel(q_inf, x1, X3)
+    Y3 = _sel(q_inf, y1, Y3)
+    Z3 = _sel(q_inf, z1, Z3)
+    p_inf = _lm_is_zero(z1)
+    X3 = _sel(p_inf, x2, X3)
+    Y3 = _sel(p_inf, y2, Y3)
+    Z3 = _sel(p_inf, z2, Z3)
+
+    xo[...] = X3.T
+    yo[...] = Y3.T
+    zo[...] = Z3.T
+
+
+DEFAULT_BLOCK = 128  # ~25 live [L, N] temporaries must fit 16MB VMEM
+
+
+@functools.lru_cache(maxsize=None)
+def _madd_call(spec: FieldSpec, n: int, block: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    grid = (n // block,)
+    dspec = pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((n, L), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_madd_kernel, spec),
+        out_shape=(out, out, out),
+        grid=grid,
+        in_specs=[dspec] * 3 + [dspec, dspec, mspec],
+        out_specs=(dspec, dspec, dspec),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _add_call(spec: FieldSpec, n: int, block: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    grid = (n // block,)
+    dspec = pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((n, L), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_add_kernel, spec),
+        out_shape=(out, out, out),
+        grid=grid,
+        in_specs=[dspec] * 6,
+        out_specs=(dspec, dspec, dspec),
+    )
+
+
+def _flatten(spec, arrs, block):
+    L = spec.n_limbs
+    batch = arrs[0].shape[:-1]
+    n = int(np.prod(batch)) if batch else 1
+    padded = -(-n // block) * block
+    flat = []
+    for a in arrs:
+        f = a.reshape((n,) + a.shape[len(batch):])
+        if padded != n:
+            pad = [(0, padded - n)] + [(0, 0)] * (f.ndim - 1)
+            f = jnp.pad(f, pad)
+        flat.append(f)
+    return flat, batch, n, padded
+
+
+def madd(spec: FieldSpec, P, aff, block: int = DEFAULT_BLOCK):
+    """Fused mixed add; P = (x, y, z) uint32[..., L]; aff = (x2, y2, inf)."""
+    x1, y1, z1 = P
+    x2, y2, inf = aff
+    x2b = jnp.broadcast_to(x2, x1.shape)
+    y2b = jnp.broadcast_to(y2, x1.shape)
+    infb = jnp.broadcast_to(inf, x1.shape[:-1]).astype(jnp.uint32)[..., None]
+    (fx1, fy1, fz1, fx2, fy2, finf), batch, n, padded = _flatten(
+        spec, [x1, y1, z1, x2b, y2b, infb], block
+    )
+    xo, yo, zo = _madd_call(spec, padded, block)(fx1, fy1, fz1, fx2, fy2, finf)
+    L = spec.n_limbs
+    return (
+        xo[:n].reshape(batch + (L,)),
+        yo[:n].reshape(batch + (L,)),
+        zo[:n].reshape(batch + (L,)),
+    )
+
+
+def add(spec: FieldSpec, P, Q, block: int = DEFAULT_BLOCK):
+    """Fused full Jacobian add."""
+    arrs = [jnp.broadcast_to(a, P[0].shape) for a in (*P, *Q)]
+    flat, batch, n, padded = _flatten(spec, arrs, block)
+    xo, yo, zo = _add_call(spec, padded, block)(*flat)
+    L = spec.n_limbs
+    return (
+        xo[:n].reshape(batch + (L,)),
+        yo[:n].reshape(batch + (L,)),
+        zo[:n].reshape(batch + (L,)),
+    )
