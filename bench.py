@@ -18,6 +18,19 @@ import time
 import numpy as np
 
 
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/atc_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 def main():
     import jax
     import jax.numpy as jnp

@@ -36,7 +36,7 @@ import jax  # noqa: E402
 
 # Persistent compilation cache: the limb-unrolled kernels are expensive to
 # compile on the CPU backend; cache across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/algebra_tpu_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/atc_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import random  # noqa: E402
