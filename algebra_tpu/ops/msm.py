@@ -98,6 +98,12 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None):
     B = curve.base
     x, y, inf = bases_aff
     n = scalars.shape[0]
+    if n < 64:
+        # tiny inputs: direct per-point scalar mul + tree sum (the
+        # reference also special-cases small sizes, variable_base/mod.rs
+        # window heuristic); also keeps multi-chip DRY-RUN compiles small.
+        P = curve.scalar_mul(curve.from_affine(bases_aff), scalars)
+        return _tree_sum(curve, P, axis=0)
     if c is None:
         c = default_window_size(n)
     scalar_bits = 16 * scalars.shape[1]

@@ -34,10 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-# Persistent compilation cache: the limb-unrolled kernels are expensive to
-# compile on the CPU backend; cache across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/atc_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# NOTE: the persistent compilation cache is intentionally NOT enabled for
+# the CPU test backend: reloading cached XLA:CPU AOT executables on this
+# machine trips a machine-feature mismatch (prefer-no-gather/-scatter)
+# and can SIGILL/segfault the process (observed as suite crashes).
 
 import random  # noqa: E402
 
