@@ -52,12 +52,17 @@ def default_window_size(n: int) -> int:
     return min(c, 16)
 
 
-def signed_digits(scalars: jnp.ndarray, c: int, num_windows: int) -> jnp.ndarray:
+def signed_digits(scalars: jnp.ndarray, c: int, num_windows: int,
+                  last_unsigned: bool = False) -> jnp.ndarray:
     """Signed base-2^c digits of canonical limb scalars.
 
     scalars: uint32[n, Ls] (16-bit limbs, little-endian).
     Returns int32[num_windows, n] with digits in [-2^(c-1), 2^(c-1)].
     Vectorized equivalent of make_digits (variable_base/mod.rs:249-288).
+
+    With ``last_unsigned`` the final window keeps its raw value + carry
+    (no recentering, so no extra carry window); the caller guarantees
+    that value fits 2^(c-1) (scalar_bits - c*(W-1) <= c-1).
     """
     n, L = scalars.shape
     zero_col = jnp.zeros((n, 1), jnp.uint32)
@@ -78,22 +83,61 @@ def signed_digits(scalars: jnp.ndarray, c: int, num_windows: int) -> jnp.ndarray
             )
             raw = (lo_bits | hi_bits) & jnp.uint32((1 << c) - 1)
         d = raw + carry
+        if last_unsigned and w == num_windows - 1:
+            digits.append(d.astype(jnp.int32))
+            continue
         carry = (d + half) >> c  # 1 iff d >= 2^(c-1)
         digit = d.astype(jnp.int32) - carry.astype(jnp.int32) * full
         digits.append(digit)
     return jnp.stack(digits, axis=0)
 
 
+def plan_windows(scalar_bits: int, c0: int, n: int):
+    """Pick (c, W) near the heuristic c0 so that the final (unsigned)
+    window stays balanced.
+
+    The last window holds ``leftover = scalar_bits - c*(W-1)`` bits, so
+    its ~n points spread over only 2^leftover buckets; small leftovers
+    make its per-bucket occupancy (and the serial continuation loop that
+    drains it) explode.  Score = lockstep rounds (~n/2^(c-1)) + the
+    continuation rounds (~n/2^leftover), weighted by their relative
+    width.  c is capped at 16 (digits must span <= 2 limbs).
+    """
+    best = None
+    for c in range(max(4, c0 - 3), min(16, c0 + 2) + 1):
+        W = -(-scalar_bits // c)
+        leftover = scalar_bits - c * (W - 1)
+        if leftover > c - 1:
+            continue  # unsigned top value would overflow the bucket range
+        B = 1 << (c - 1)
+        # time model: sequential kernel launches are latency-bound
+        # (~1ms each through the runtime) while the arithmetic streams at
+        # ~20ns per lane-add; both matter, at very different rates.
+        launches = 1.3 * n / B + n / (1 << leftover) + 2 * (c - 1)
+        lane_adds = 2 * n * W + 2 * (c - 1) * W * B + (n / (1 << leftover)) * B
+        score = launches * 1e-3 + lane_adds * 22e-9
+        if best is None or score < best[0]:
+            best = (score, c, W)
+    if best is None:  # pathological scalar_bits; fall back to c=4
+        c = 4
+        W = -(-scalar_bits // c)
+        while scalar_bits - c * (W - 1) > c - 1:
+            W += 1
+        return c, W
+    return best[1], best[2]
+
+
 def _tree_take(value, idx):
     return jax.tree_util.tree_map(lambda a: a[idx], value)
 
 
-def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None):
+def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
+        scalar_bits: int | None = None):
     """Variable-base MSM:  sum_i scalars[i] * bases[i].
 
     curve: SWCurve kind; bases_aff: affine batch (x, y, inf) of n points;
-    scalars: uint32[n, Ls] canonical 16-bit limbs.  Returns a single
-    Jacobian point (batch shape ()).
+    scalars: uint32[n, Ls] canonical 16-bit limbs (< 2^scalar_bits;
+    default 16*Ls).  Returns a single Jacobian point (batch shape ()).
     """
     B = curve.base
     x, y, inf = bases_aff
@@ -104,13 +148,18 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None):
         # window heuristic); also keeps multi-chip DRY-RUN compiles small.
         P = curve.scalar_mul(curve.from_affine(bases_aff), scalars)
         return _tree_sum(curve, P, axis=0)
+    if scalar_bits is None:
+        scalar_bits = min(16 * scalars.shape[1],
+                          curve.scalar_modulus.bit_length())
     if c is None:
-        c = default_window_size(n)
-    scalar_bits = 16 * scalars.shape[1]
-    num_windows = scalar_bits // c + 1  # +1 for the recoding carry
+        c, num_windows = plan_windows(scalar_bits, default_window_size(n), n)
+    else:
+        num_windows = -(-scalar_bits // c)
+        if scalar_bits - c * (num_windows - 1) > c - 1:
+            num_windows += 1  # keep the unsigned top window in range
     n_buckets = 1 << (c - 1)
 
-    digits = signed_digits(scalars, c, num_windows)  # [W, n]
+    digits = signed_digits(scalars, c, num_windows, last_unsigned=True)
     mags = jnp.abs(digits).astype(jnp.uint32)  # 0..2^(c-1)
     is_neg = digits < 0
 
