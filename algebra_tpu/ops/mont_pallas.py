@@ -36,26 +36,54 @@ _M16 = 0xFFFF
 
 def _lm_mul(spec: FieldSpec, a, b):
     """Montgomery product over limb-major [L, N] blocks (in-register
-    column accumulation; bit-identical to ops/mont.mul)."""
+    column accumulation; bit-identical to ops/mont.mul).
+
+    Column updates are [L, N] SLICE adds on a [2L+1, N] accumulator —
+    2-D ops fill all 8 VPU sublanes, where per-column 1-D row adds would
+    run at 1/8 utilization (the dominant cost at 16-bit limb counts).
+    """
     L = spec.n_limbs
     p_list = [int(x) for x in spec.p_limbs]
     inv = int(spec.inv16)
     nb = a.shape[1]
-    cols = [jnp.zeros((nb,), jnp.uint32) for _ in range(2 * L + 1)]
+    # [L, N] constant built from scalar broadcasts (pallas kernels cannot
+    # capture array constants; scalar fills are fine)
+    p_full = jnp.concatenate(
+        [jnp.full((1, nb), pj, jnp.uint32) for pj in p_list], axis=0
+    )
+    # 2-D segment updates via pure slice + concat (mosaic lowers these
+    # natively; .at[...].set routes through scatter, which it can't)
+    def _upd(cols, i, width, fn):
+        seg = fn(cols[i : i + width])
+        parts = []
+        if i > 0:
+            parts.append(cols[:i])
+        parts.append(seg)
+        if i + width < cols.shape[0]:
+            parts.append(cols[i + width :]),
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    cols = jnp.zeros((2 * L + 1, nb), jnp.uint32)
     for i in range(L):
         prod = a[i][None, :] * b  # [L, NB]
-        lo = prod & _M16
-        hi = prod >> 16
-        for j in range(L):
-            cols[i + j] = cols[i + j] + lo[j]
-            cols[i + j + 1] = cols[i + j + 1] + hi[j]
+
+        def acc(seg, prod=prod):
+            seg = jnp.concatenate([seg[:L] + (prod & _M16), seg[L:]], axis=0)
+            return jnp.concatenate([seg[:1], seg[1:] + (prod >> 16)], axis=0)
+
+        cols = _upd(cols, i, L + 1, acc)
     for i in range(L):
         m = ((cols[i] & _M16) * inv) & _M16
-        for j in range(L):
-            mp = m * p_list[j]
-            cols[i + j] = cols[i + j] + (mp & _M16)
-            cols[i + j + 1] = cols[i + j + 1] + (mp >> 16)
-        cols[i + 1] = cols[i + 1] + (cols[i] >> 16)
+        mp = m[None, :] * p_full  # [L, NB]
+
+        def red(seg, mp=mp):
+            seg = jnp.concatenate([seg[:L] + (mp & _M16), seg[L:]], axis=0)
+            seg = jnp.concatenate([seg[:1], seg[1:] + (mp >> 16)], axis=0)
+            return jnp.concatenate(
+                [seg[:1], (seg[1] + (seg[0] >> 16))[None], seg[2:]], axis=0
+            )
+
+        cols = _upd(cols, i, L + 1, red)
     # propagate cols[L:2L+1] -> limbs + carry
     out_rows = []
     carry = jnp.zeros((nb,), jnp.uint32)
