@@ -176,6 +176,58 @@ def _mul_call(spec: FieldSpec, n: int, block: int):
 DEFAULT_BLOCK = 1024
 
 
+def _xor_butterfly_kernel(spec: FieldSpec, half: int, block: int,
+                          x_ref, p_ref, w_ref, o_ref):
+    """One DIT butterfly stage in XOR-pairing form.
+
+    Position i holds x; its XOR-partner (gathered outside) is p.  With
+    sel = (i & half) != 0:  out = sel ? (lo - w*hi) : (lo + w*hi) where
+    (lo, hi) = sel ? (p, x) : (x, p).  sel derives from the global
+    position IN-KERNEL — a [n, 1] mask array in HBM would tile-pad 128x
+    (8 GB at 2^24)."""
+    from jax.experimental import pallas as pl
+
+    x = x_ref[...].T  # [L, NB]
+    p = p_ref[...].T
+    w = w_ref[...].T
+    pos = pl.program_id(0) * block + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block), 1
+    )
+    sel = (pos & half) != 0  # [1, NB]
+    a = jnp.where(sel, p, x)
+    b = jnp.where(sel, x, p)
+    t = _lm_mul(spec, b, w)
+    res = jnp.where(sel, _lm_sub(spec, a, t), _lm_add(spec, a, t))
+    o_ref[...] = res.T
+
+
+@functools.lru_cache(maxsize=None)
+def _xor_butterfly_call(spec: FieldSpec, n: int, half: int, block: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    grid = (n // block,)
+    dspec = pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_xor_butterfly_kernel, spec, half, block),
+        out_shape=jax.ShapeDtypeStruct((n, L), jnp.uint32),
+        grid=grid,
+        in_specs=[dspec, dspec, dspec],
+        out_specs=dspec,
+    )
+
+
+def xor_butterfly(spec: FieldSpec, x, partner, w, half: int,
+                  block: int = 512):
+    """XOR-paired butterfly stage over [n, L] arrays (see kernel doc)."""
+    n = x.shape[0]
+    blk = min(block, n)
+    while n % blk:
+        blk //= 2
+    return _xor_butterfly_call(spec, n, half, blk)(x, partner, w)
+
+
 def _butterfly_kernel(spec: FieldSpec, reps: int, lo_ref, hi_ref, w_ref,
                       olo_ref, ohi_ref):
     """One DIT butterfly stage, fused: t = hi*w; out = (lo+t, lo-t).

@@ -105,27 +105,54 @@ def fft_stages(spec: FieldSpec, x: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarr
         total *= d
     use_pallas = config.pallas_enabled() and total // 2 >= config.pallas_min_batch
 
-    for s in range(1, log_n + 1):
-        m = 1 << s
-        half = m >> 1
-        w = roots[:: n // m] if m < n else roots  # [half, L]
-        xv = x.reshape((-1, m, L))
-        if use_pallas:
-            from . import mont_pallas
+    if use_pallas and len(shape) == 2 and n > (1 << 22):
+        # Very large transforms: XOR-pairing formulation — every stage
+        # works on flat [n, L] arrays with device-computed indices, so no
+        # [G, m, L] reshape temporaries (whose lane padding makes XLA
+        # allocate 8-16x the logical size and OOMs HBM at 2^24).  Slower
+        # per element than the reshape path (two gathers per stage) but
+        # memory-bounded.
+        from . import mont_pallas
 
+        idx = jnp.arange(n, dtype=jnp.int32)
+        for s in range(1, log_n + 1):
+            m = 1 << s
+            half = m >> 1
+            j = idx & (m - 1)
+            partner = jnp.take(x, idx ^ half, axis=0)
+            w_idx = (j & (half - 1)) * (n // m)
+            w_full = jnp.take(roots, w_idx, axis=0)
+            x = mont_pallas.xor_butterfly(spec, x, partner, w_full, half)
+        return x
+
+    if use_pallas and len(shape) == 2:
+        # fused butterfly-stage kernels over the reshaped lo/hi halves
+        from . import mont_pallas
+
+        for s in range(1, log_n + 1):
+            m = 1 << s
+            half = m >> 1
+            w = roots[:: n // m] if m < n else roots  # [half, L]
+            xv = x.reshape((-1, m, L))
             lo = xv[:, :half].reshape(-1, L)
             hi = xv[:, half:].reshape(-1, L)
             olo, ohi = mont_pallas.butterfly_stage(spec, lo, hi, w)
             x = jnp.concatenate(
                 [olo.reshape(-1, half, L), ohi.reshape(-1, half, L)], axis=1
             ).reshape(shape)
-        else:
-            lo = xv[:, :half]
-            hi = xv[:, half:]
-            t = mont.mul(spec, hi, w)
-            x = jnp.concatenate(
-                [mont.add(spec, lo, t), mont.sub(spec, lo, t)], axis=1
-            ).reshape(shape)
+        return x
+
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        half = m >> 1
+        w = roots[:: n // m] if m < n else roots  # [half, L]
+        xv = x.reshape((-1, m, L))
+        lo = xv[:, :half]
+        hi = xv[:, half:]
+        t = mont.mul(spec, hi, w)
+        x = jnp.concatenate(
+            [mont.add(spec, lo, t), mont.sub(spec, lo, t)], axis=1
+        ).reshape(shape)
     return x
 
 

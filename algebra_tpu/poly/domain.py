@@ -88,31 +88,32 @@ class Radix2EvaluationDomain:
         return coeffs
 
     @jit_method
-    def _fft_padded(self, coeffs):
-        roots, _ = self._root_tables()
+    def _fft_padded(self, coeffs, roots, bitrev):
+        # roots/bitrev arrive as ARGUMENTS: baking the 2^(n-1)-entry
+        # twiddle table into the program as a constant bloats the HLO past
+        # what remote-compile transports accept at 2^24 scale.
         if self.offset != 1:
             table = ntt.powers_from_int(self.spec, self.offset, self.size)
             coeffs = ntt.scale(self.spec, coeffs, table)
-        return ntt.fft(self.spec, coeffs, roots, self._bitrev)
+        return ntt.fft(self.spec, coeffs, roots, bitrev)
 
     def fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         """Evaluate the polynomial with the given coefficients over the
         domain (natural order h*g^0, h*g^1, ...); zero-pads short inputs
         (reference: poly/src/domain/mod.rs fft semantics)."""
-        self._root_tables()
-        return self._fft_padded(self._pad(coeffs))
+        roots, _ = self._root_tables()
+        return self._fft_padded(self._pad(coeffs), roots, self._bitrev)
 
     def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
         """Interpolate evaluations over the domain back to coefficients."""
         if evals.shape[-2] != self.size:
             raise ValueError("ifft input must have domain size")
-        self._root_tables()
-        return self._ifft_impl(evals)
+        _, roots_inv = self._root_tables()
+        return self._ifft_impl(evals, roots_inv, self._bitrev)
 
     @jit_method
-    def _ifft_impl(self, evals: jnp.ndarray) -> jnp.ndarray:
-        _, roots_inv = self._root_tables()
-        x = ntt.fft(self.spec, evals, roots_inv, self._bitrev)
+    def _ifft_impl(self, evals: jnp.ndarray, roots_inv, bitrev) -> jnp.ndarray:
+        x = ntt.fft(self.spec, evals, roots_inv, bitrev)
         n_inv = self.field.constant(self.size_inv)
         x = mont.mul(self.spec, x, n_inv)
         if self.offset != 1:

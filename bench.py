@@ -40,7 +40,7 @@ def main():
     from algebra_tpu.ops import mont
 
     n = 1 << 20
-    reps = 8  # chained muls per kernel launch to amortize dispatch
+    reps = 64  # chained muls per kernel launch to amortize dispatch
 
     rng = np.random.default_rng(1234)
     # random field elements via rejection-free: random 252-bit ints < r
@@ -59,7 +59,7 @@ def main():
     out = chain(a, b)
     _ = np.asarray(jax.device_get(out))  # compile + warm + full sync
 
-    iters = 8
+    iters = 4
     t0 = time.perf_counter()
     for _ in range(iters):
         out = chain(out, b)
