@@ -14,6 +14,20 @@ tunnel env stripped so tests never touch (or block on) the TPU.
 import os
 import sys
 
+# XLA:CPU's LLVM pipeline recurses deeply on the big scan-body programs
+# (pairing pow chains) and has segfaulted the default 8MB main-thread
+# stack; raise the limit before any native compilation runs.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and _soft < _want:
+        _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+except Exception:
+    pass
+
 if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
     "_ALGEBRA_TPU_TESTS_REEXEC"
 ):
