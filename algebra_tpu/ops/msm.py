@@ -143,11 +143,13 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
     x, y, inf = bases_aff
     n = scalars.shape[0]
     if n < 64:
-        # tiny inputs: direct per-point scalar mul + tree sum (the
+        # tiny inputs: direct per-point scalar mul + scan-fold sum (the
         # reference also special-cases small sizes, variable_base/mod.rs
-        # window heuristic); also keeps multi-chip DRY-RUN compiles small.
+        # window heuristic).  A lax.scan fold compiles ONE add body; the
+        # halving tree would inline log2(n) distinct-shape add bodies,
+        # which dominates XLA:CPU compile time in the multi-chip dry run.
         P = curve.scalar_mul(curve.from_affine(bases_aff), scalars)
-        return _tree_sum(curve, P, axis=0)
+        return scan_sum(curve, P, axis=0)
     if scalar_bits is None:
         scalar_bits = min(16 * scalars.shape[1],
                           curve.scalar_modulus.bit_length())
@@ -277,6 +279,22 @@ def _hs_suffix_scan(curve, P, B: int):
         P = curve.add(P, (x, y, z))
         d *= 2
     return P
+
+
+def scan_sum(curve, P, axis: int = 0):
+    """Sequential fold of a point batch along one axis via lax.scan.
+
+    O(n) sequential adds but only ONE compiled add body — the right
+    trade for small n (partial-point reductions, dry runs, CPU tests);
+    use ``_tree_sum`` for large batches on real hardware."""
+    P0 = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, axis, 0), P)
+    rest = jax.tree_util.tree_leaves(P0)[0].shape[1:-1]
+
+    def body(acc, p):
+        return curve.add(acc, tuple(p)), None
+
+    total, _ = jax.lax.scan(body, curve.zero(rest), P0)
+    return total
 
 
 def _tree_sum(curve, P, axis: int):

@@ -35,11 +35,12 @@ def sharded_msm(curve, mesh, bases_aff, scalars, c=None, axis: str = "x"):
 
     def local(x, y, inf, sc):
         part = msm_mod.msm(curve, (x, y, inf), sc, c=c)  # local Jacobian point
-        # gather all partial points (leading axis D) and tree-add
+        # gather all partial points (leading axis D) and fold; the scan
+        # fold compiles ONE add body (D is tiny, so sequential is fine)
         gathered = jax.tree_util.tree_map(
             lambda a: jax.lax.all_gather(a, axis, axis=0), part
         )
-        total = msm_mod._tree_sum(curve, tuple(gathered), axis=0)
+        total = msm_mod.scan_sum(curve, tuple(gathered), axis=0)
         return total
 
     x, y, inf = bases_aff

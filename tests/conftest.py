@@ -1,14 +1,20 @@
 """Test configuration: force the CPU backend with 8 virtual devices.
 
 Tests exercise the identical uint32 kernels that run on TPU; the 8
-virtual CPU devices validate the multi-chip sharding paths (mesh +
-collectives) without TPU hardware.
+virtual CPU devices host the multi-chip sharding tests
+(tests/test_sharded.py: mesh + collectives, 1-vs-8-device bit-exactness)
+without TPU hardware.
 
 IMPORTANT: in the TPU-tunnel environment a sitecustomize hook registers
 the remote 'axon' PJRT plugin in EVERY python process at interpreter
 start (before this file runs) and all sessions serialize on the single
 tunnel.  If that hook already ran, we re-exec the test process with the
-tunnel env stripped so tests never touch (or block on) the TPU.
+tunnel env stripped so tests never touch (or block on) the TPU.  The
+re-exec happens in pytest_configure with global capture STOPPED: at
+conftest-import time pytest has already dup2'd fds 1/2 into its capture
+temp files, and an execve there silently discards all test output
+(observed: rc=0, zero bytes).  stop_global_capturing() restores the
+real fds first, so the re-exec'd run reports normally.
 """
 
 import os
@@ -28,30 +34,45 @@ try:
 except Exception:
     pass
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
+_NEEDS_REEXEC = bool(os.environ.get("PALLAS_AXON_POOL_IPS")) and not os.environ.get(
     "_ALGEBRA_TPU_TESTS_REEXEC"
-):
+)
+
+
+def pytest_configure(config):
+    if not _NEEDS_REEXEC:
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.suspend_global_capture(in_=True)
+            capman.stop_global_capturing()
+        except Exception:
+            pass
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["_ALGEBRA_TPU_TESTS_REEXEC"] = "1"
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if not _NEEDS_REEXEC:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-import jax  # noqa: E402
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# NOTE: the persistent compilation cache is intentionally NOT enabled for
-# the CPU test backend: reloading cached XLA:CPU AOT executables on this
-# machine trips a machine-feature mismatch (prefer-no-gather/-scatter)
-# and can SIGILL/segfault the process (observed as suite crashes).
+    import jax  # noqa: E402,F401
+
+    # NOTE: the persistent compilation cache is intentionally NOT enabled
+    # for the CPU test backend: reloading cached XLA:CPU AOT executables on
+    # this machine trips a machine-feature mismatch (prefer-no-gather/
+    # -scatter) and can SIGILL/segfault the process (observed as suite
+    # crashes).
 
 import random  # noqa: E402
 

@@ -1,0 +1,123 @@
+"""Multi-chip sharded paths on the 8-device virtual CPU mesh.
+
+Covers SURVEY.md §4(d): the sharding-equivalence harness the reference
+never needed — the same computation on a 1-device and an 8-device mesh
+must agree bit-exactly (canonical field elements / affine points), and
+both must match the host big-int oracle.
+
+Kept deliberately tiny: XLA:CPU compile time dominates, so point counts
+and NTT sizes are the smallest that still exercise every collective
+(all_gather partial reduction in MSM, all_to_all transpose in the
+four-step NTT).
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from algebra_tpu.bigint import batch_int_to_limbs, limbs_to_int
+from algebra_tpu.curves.instances import bls12_381
+from algebra_tpu.ops import ntt
+from algebra_tpu.parallel.mesh import default_mesh
+from algebra_tpu.parallel.msm_sharded import sharded_msm
+from algebra_tpu.parallel.ntt_sharded import sharded_fft, sharded_ifft
+
+N_PTS = 32
+SIZE = 64
+
+
+def _host_affine(curve, jac):
+    """Jacobian limb-array point -> host affine (x, y) ints via Python."""
+    fq = curve.base.spec
+    p = fq.modulus
+    X, Y, Z = (
+        fq.from_mont(limbs_to_int(np.asarray(jax.device_get(c)))) for c in jac
+    )
+    if Z == 0:
+        return None
+    zinv = pow(Z, -1, p)
+    return (X * zinv * zinv % p, Y * zinv * zinv * zinv % p)
+
+
+@pytest.fixture(scope="module")
+def msm_inputs():
+    curve = bls12_381.g1()
+    rng = random.Random(2024)
+    pts = curve.random_host(rng, N_PTS)
+    bases = curve.from_host(pts)
+    scalars = [rng.randrange(1 << 32) for _ in range(N_PTS)]
+    sc = jnp.asarray(batch_int_to_limbs(scalars, 2))
+    want = None
+    for pt, k in zip(pts, scalars):
+        want = curve.host_add(want, curve.host_mul(pt, k))
+    return curve, bases, sc, want
+
+
+def test_sharded_msm_8dev_vs_1dev_vs_host(msm_inputs):
+    curve, bases, sc, want = msm_inputs
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+
+    mesh8 = default_mesh(8)
+    mesh1 = default_mesh(1)
+    out8 = jax.jit(lambda b, s: sharded_msm(curve, mesh8, b, s, c=8))(bases, sc)
+    out1 = jax.jit(lambda b, s: sharded_msm(curve, mesh1, b, s, c=8))(bases, sc)
+
+    aff8 = _host_affine(curve, out8)
+    aff1 = _host_affine(curve, out1)
+    # canonical affine coordinates: int equality == bit-exact limbs
+    assert aff8 == aff1, "8-device and 1-device MSM disagree"
+    assert aff8 == want, "sharded MSM does not match host oracle"
+
+
+@pytest.fixture(scope="module")
+def ntt_inputs():
+    fr = bls12_381.fr_spec
+    rng = random.Random(77)
+    coeffs_int = [rng.randrange(fr.modulus) for _ in range(SIZE)]
+    coeffs = jnp.asarray(
+        batch_int_to_limbs([fr.to_mont(c) for c in coeffs_int], fr.n_limbs)
+    )
+    omega = fr.get_root_of_unity(SIZE)
+    return fr, coeffs, coeffs_int, omega
+
+
+def test_sharded_ntt_8dev_bit_exact_vs_local(ntt_inputs):
+    fr, coeffs, coeffs_int, omega = ntt_inputs
+    mesh8 = default_mesh(8)
+    out8 = jax.jit(lambda c: sharded_fft(fr, mesh8, c, omega))(coeffs)
+
+    roots = ntt.powers_from_int(fr, omega, SIZE // 2)
+    bitrev = jnp.asarray(ntt.bit_reverse_indices(SIZE))
+    local = jax.jit(lambda c: ntt.fft(fr, c, roots, bitrev))(coeffs)
+
+    # Montgomery ops always emit the canonical representative < p, so any
+    # correct evaluation order yields identical limbs: require exact match.
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out8)), np.asarray(jax.device_get(local))
+    )
+
+    # spot-check vs host DFT
+    p = fr.modulus
+    out_host = np.asarray(jax.device_get(out8))
+    for k in (0, 3, SIZE - 1):
+        wk = pow(omega, k, p)
+        want, acc = 0, 1
+        for c in coeffs_int:
+            want = (want + c * acc) % p
+            acc = (acc * wk) % p
+        assert fr.from_mont(limbs_to_int(out_host[k])) == want
+
+
+def test_sharded_intt_roundtrip(ntt_inputs):
+    fr, coeffs, coeffs_int, omega = ntt_inputs
+    mesh8 = default_mesh(8)
+    size_inv = pow(SIZE, -1, fr.modulus)
+    fwd = jax.jit(lambda c: sharded_fft(fr, mesh8, c, omega))
+    bwd = jax.jit(lambda c: sharded_ifft(fr, mesh8, c, omega, size_inv))
+    back = bwd(fwd(coeffs))
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(back)), np.asarray(jax.device_get(coeffs))
+    )
