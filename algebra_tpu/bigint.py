@@ -52,7 +52,7 @@ def limbs_to_int(limbs) -> int:
 
 
 def batch_int_to_limbs(xs, n_limbs: int, dtype=np.uint32) -> np.ndarray:
-    """Convert an iterable of ints to a [len(xs), n_limbs] limb array.
+    """Convert an iterable of ints to a LIMB-MAJOR [n_limbs, len(xs)] array.
 
     Bulk path: each int serializes to little-endian bytes (C-speed) and
     the whole buffer reinterprets as 16-bit limbs."""
@@ -60,15 +60,23 @@ def batch_int_to_limbs(xs, n_limbs: int, dtype=np.uint32) -> np.ndarray:
     nb = 2 * n_limbs
     buf = b"".join(int(x).to_bytes(nb, "little") for x in xs)
     arr = np.frombuffer(buf, dtype="<u2").reshape(len(xs), n_limbs)
-    return arr.astype(dtype)
+    return np.ascontiguousarray(arr.T).astype(dtype)
 
 
 def batch_limbs_to_int(arr) -> list:
-    """Convert a [..., n_limbs] limb array to a nested list of Python ints."""
+    """Convert a limb-major [n_limbs, *batch] array to a nested list of
+    Python ints (a bare int for batch rank 0)."""
     arr = np.asarray(arr)
     if arr.ndim == 1:
         return limbs_to_int(arr)
-    return [batch_limbs_to_int(a) for a in arr]
+
+    def rec(a):
+        # a: [L, *batch]
+        if a.ndim == 1:
+            return limbs_to_int(a)
+        return [rec(a[:, i]) for i in range(a.shape[1])]
+
+    return rec(arr)
 
 
 def int_to_bytes_le(x: int, n_bytes: int) -> bytes:

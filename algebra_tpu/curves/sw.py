@@ -29,11 +29,12 @@ from ..fields.field import Field
 
 
 def scalar_bits_le(scalars: jnp.ndarray) -> jnp.ndarray:
-    """uint32[..., Ls] 16-bit-limb scalars -> bool[..., 16*Ls] LE bit array."""
-    L = scalars.shape[-1]
-    shifts = jnp.arange(16, dtype=jnp.uint32)
-    bits = (scalars[..., :, None] >> shifts) & jnp.uint32(1)
-    return bits.reshape(scalars.shape[:-1] + (16 * L,)).astype(jnp.bool_)
+    """uint32[Ls, *batch] 16-bit-limb scalars -> bool[16*Ls, *batch] LE bits."""
+    L = scalars.shape[0]
+    batch_ndim = scalars.ndim - 1
+    shifts = jnp.arange(16, dtype=jnp.uint32).reshape((1, 16) + (1,) * batch_ndim)
+    bits = (scalars[:, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape((16 * L,) + scalars.shape[1:]).astype(jnp.bool_)
 
 
 class SWCurve:
@@ -61,6 +62,12 @@ class SWCurve:
         self.a_is_zero = base.is_zero(base.constant(a_host))
         self.a_is_zero = bool(jax.device_get(self.a_is_zero))
         self.glv = glv
+        # optional fast subgroup checks installed by curve instances
+        # (e.g. BLS12-381 sigma/psi endomorphism checks); signatures:
+        #   host fn: (curve, host_pt) -> bool      (host_pt never None)
+        #   device fn: (curve, affine_batch) -> bool array
+        self.subgroup_check_host = None
+        self.subgroup_check_device = None
         from ..fields.prime import PrimeField
 
         self._prime_base = isinstance(base, PrimeField)
@@ -283,12 +290,10 @@ class SWCurve:
 
     # ----------------------------------------------------------- scalar mul
     def scalar_mul(self, P, scalars: jnp.ndarray):
-        """P * scalar for traced per-lane scalars (uint32[..., Ls] canonical
-        16-bit limbs).  Branchless MSB-first double-and-add via lax.scan —
-        the default `mul_bigint` path (short_weierstrass/mod.rs:75)."""
-        bits = scalar_bits_le(scalars)  # [..., nbits]
-        nbits = bits.shape[-1]
-        bits_t = jnp.moveaxis(bits, -1, 0)  # [nbits, ...]
+        """P * scalar for traced per-lane scalars (uint32[Ls, ...] canonical
+        limb-major 16-bit limbs).  Branchless MSB-first double-and-add via
+        lax.scan — the default `mul_bigint` path (short_weierstrass/mod.rs:75)."""
+        bits = scalar_bits_le(scalars)  # [nbits, ...]
         acc = self.zero(self.batch_shape(P))
 
         def body(acc, bit):
@@ -296,8 +301,18 @@ class SWCurve:
             acc = self.select(bit, self.add(acc, P), acc)
             return acc, None
 
-        acc, _ = jax.lax.scan(body, acc, bits_t[::-1])
+        acc, _ = jax.lax.scan(body, acc, bits[::-1])
         return acc
+
+    def mul_bits_be(self, P, bits):
+        """P * scalar from an explicit big-endian host bit sequence
+        (Group::mul_bits_be, ec/src/lib.rs:100-117) — double-and-add over
+        the given bits with NO reduction; bits may exceed the scalar
+        field (the reference uses this for cofactor-sized multiplies)."""
+        k = 0
+        for b in bits:
+            k = (k << 1) | int(bool(b))
+        return self.mul_int(P, k)
 
     def mul_int(self, P, k: int):
         """P * k for a host-constant scalar (used by cofactor clearing and
@@ -337,9 +352,25 @@ class SWCurve:
         return self.mul_int(P, self.cofactor)
 
     def is_in_correct_subgroup(self, P):
-        """[r]P == 0 (the reference's default subgroup check,
-        short_weierstrass/mod.rs:50)."""
+        """Subgroup membership; instances may install a fast endomorphism
+        check (subgroup_check_device), else [r]P == 0 (the reference's
+        default, short_weierstrass/mod.rs:50)."""
+        if self.subgroup_check_device is not None:
+            inf = self.is_zero(P)
+            return jnp.logical_or(inf, self.subgroup_check_device(self, P))
         return self.is_zero(self.mul_int(P, self.scalar_modulus))
+
+    def host_is_in_correct_subgroup(self, pt) -> bool:
+        """Host-side subgroup membership for an affine host point (None =
+        infinity, always a member).  Mirrors Validate::Yes semantics of
+        point deserialization (short_weierstrass/affine.rs:363-369)."""
+        if pt is None:
+            return True
+        if self.cofactor == 1:
+            return True  # prime-order curve: on-curve implies in-subgroup
+        if self.subgroup_check_host is not None:
+            return bool(self.subgroup_check_host(self, pt))
+        return self.host_mul_raw(pt, self.scalar_modulus) is None
 
     # ------------------------------------------------------------- host I/O
     def from_host(self, points):

@@ -167,8 +167,7 @@ class TECurve:
 
     # ----------------------------------------------------------- scalar mul
     def scalar_mul(self, P, scalars: jnp.ndarray):
-        bits = scalar_bits_le(scalars)
-        bits_t = jnp.moveaxis(bits, -1, 0)
+        bits = scalar_bits_le(scalars)  # [nbits, ...] (limb-major scalars)
         acc = self.zero(self.batch_shape(P))
 
         def body(acc, bit):
@@ -176,7 +175,7 @@ class TECurve:
             acc = self.select(bit, self.add(acc, P), acc)
             return acc, None
 
-        acc, _ = jax.lax.scan(body, acc, bits_t[::-1])
+        acc, _ = jax.lax.scan(body, acc, bits[::-1])
         return acc
 
     def mul_int(self, P, k: int):
@@ -211,6 +210,25 @@ class TECurve:
 
     def is_in_correct_subgroup(self, P):
         return self.is_zero(self.mul_int(P, self.scalar_modulus))
+
+    def host_is_in_correct_subgroup(self, pt) -> bool:
+        """Host-side subgroup check: [r]pt == (0, 1) (Validate::Yes parity
+        with twisted_edwards/affine.rs)."""
+        if self.cofactor == 1:
+            return True
+        hf = _host_field_of(self.base)
+        kpt = self.host_mul_raw(pt, self.scalar_modulus)
+        return hf.equal(kpt[0], hf.zero()) and hf.equal(kpt[1], hf.one())
+
+    def host_mul_raw(self, P, k: int):
+        """Scalar mul WITHOUT reduction mod r (for out-of-subgroup inputs)."""
+        hf = _host_field_of(self.base)
+        acc = (hf.zero(), hf.one())
+        for bit in bin(int(k))[2:] if k else "":
+            acc = self.host_add(acc, acc)
+            if bit == "1":
+                acc = self.host_add(acc, P)
+        return acc
 
     # --------------------------------------------- Montgomery curve mapping
     def to_montgomery_host(self, pt):

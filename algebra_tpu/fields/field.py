@@ -21,16 +21,23 @@ import jax.numpy as jnp
 
 
 def tree_select(mask, a, b):
-    """Select between two equal-structure values; mask over batch dims."""
-    return jax.tree_util.tree_map(
-        lambda x, y: jnp.where(mask[..., None], x, y), a, b
-    )
+    """Select between two equal-structure values; mask over batch dims.
+
+    Limb-major layout: leaves are [L, *batch], so a batch-shaped mask
+    broadcasts right-aligned with no reshaping."""
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(mask, x, y), a, b)
 
 
 def tree_broadcast_to(value, batch_shape):
-    return jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, tuple(batch_shape) + (x.shape[-1],)), value
-    )
+    batch_shape = tuple(batch_shape)
+
+    def bc(x):
+        missing = len(batch_shape) + 1 - x.ndim
+        if missing > 0:
+            x = x.reshape(x.shape[:1] + (1,) * missing + x.shape[1:])
+        return jnp.broadcast_to(x, x.shape[:1] + batch_shape)
+
+    return jax.tree_util.tree_map(bc, value)
 
 
 class Field:
@@ -94,24 +101,31 @@ class Field:
         return tree_select(mask, a, b)
 
     # --- structure ----------------------------------------------------------
+    # Leaves are limb-major [L, *batch]; ``axis`` arguments below index the
+    # BATCH axes (axis=0 = leading batch axis = leaf array axis 1).
     def batch_shape(self, a) -> tuple:
         leaf = jax.tree_util.tree_leaves(a)[0]
-        return leaf.shape[:-1]
+        return leaf.shape[1:]
 
     def broadcast_to(self, a, batch_shape):
         return tree_broadcast_to(a, batch_shape)
 
     def stack(self, values, axis=0):
-        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=axis), *values)
+        ax = axis + 1 if axis >= 0 else axis
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=ax), *values)
 
     def concatenate(self, values, axis=0):
+        ax = axis + 1 if axis >= 0 else axis
         return jax.tree_util.tree_map(
-            lambda *xs: jnp.concatenate(xs, axis=axis), *values
+            lambda *xs: jnp.concatenate(xs, axis=ax), *values
         )
 
     def index(self, a, idx):
-        """Slice/gather along leading batch axis."""
-        return jax.tree_util.tree_map(lambda x: x[idx], a)
+        """Slice/gather along the batch axes (idx skips the limb axis)."""
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        full = (slice(None),) + idx
+        return jax.tree_util.tree_map(lambda x: x[full], a)
 
     # --- host conversions -----------------------------------------------------
     def from_int(self, x, batch_shape=()):
@@ -158,35 +172,59 @@ class Field:
         res, _ = jax.lax.scan(body, one, bits)
         return res
 
+    def pow_with_table(self, powers_of_2, e: int):
+        """a^e from a precomputed table [a, a^2, a^4, ...] — skips the
+        squarings (reference: ff/src/fields/mod.rs:301-309).  Returns
+        None when the table is too short for e's bit length."""
+        e = int(e)
+        if e < 0:
+            raise ValueError("negative exponent")
+        res = None
+        bit = 0
+        while e:
+            if e & 1:
+                if bit >= len(powers_of_2):
+                    return None
+                t = powers_of_2[bit]
+                res = t if res is None else self.mul(res, t)
+            e >>= 1
+            bit += 1
+        if res is None:
+            shape = self.batch_shape(powers_of_2[0]) if powers_of_2 else ()
+            return self.one(shape)
+        return res
+
+    def pow_table(self, a, n_bits: int):
+        """Build the [a, a^2, a^4, ...] table for pow_with_table."""
+        table = [a]
+        for _ in range(n_bits - 1):
+            table.append(self.square(table[-1]))
+        return table
+
     def sum(self, a, axis=0):
         """Field sum along a batch axis via a work-efficient tree reduction."""
-
-        def reduce_axis(x):
-            return x
-
+        ax = axis + 1 if axis >= 0 else axis
         # pairwise tree reduction in log2 rounds
-        n = jax.tree_util.tree_leaves(a)[0].shape[axis]
+        n = jax.tree_util.tree_leaves(a)[0].shape[ax]
         val = a
         while n > 1:
             half = n // 2
             lo = jax.tree_util.tree_map(
-                lambda x: jax.lax.slice_in_dim(x, 0, half, axis=axis), val
+                lambda x: jax.lax.slice_in_dim(x, 0, half, axis=ax), val
             )
             hi = jax.tree_util.tree_map(
-                lambda x: jax.lax.slice_in_dim(x, half, 2 * half, axis=axis), val
+                lambda x: jax.lax.slice_in_dim(x, half, 2 * half, axis=ax), val
             )
             combined = self.add(lo, hi)
             if n % 2:
                 last = jax.tree_util.tree_map(
-                    lambda x: jax.lax.slice_in_dim(x, n - 1, n, axis=axis), val
+                    lambda x: jax.lax.slice_in_dim(x, n - 1, n, axis=ax), val
                 )
                 combined = jax.tree_util.tree_map(
-                    lambda c, l: jnp.concatenate([c, l], axis=axis), combined, last
+                    lambda c, l: jnp.concatenate([c, l], axis=ax), combined, last
                 )
                 n = half + 1
             else:
                 n = half
             val = combined
-        return jax.tree_util.tree_map(
-            lambda x: jnp.squeeze(x, axis=axis), val
-        )
+        return jax.tree_util.tree_map(lambda x: jnp.squeeze(x, axis=ax), val)

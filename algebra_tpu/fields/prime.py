@@ -23,21 +23,17 @@ class PrimeField(Field):
         self.name = spec.name
 
     # --- constants ---------------------------------------------------------
+    # Values are limb-major uint32[L, *batch] (see ops/mont.py).
     def zero(self, batch_shape=()):
-        return jnp.zeros(tuple(batch_shape) + (self.spec.n_limbs,), jnp.uint32)
+        return jnp.zeros((self.spec.n_limbs,) + tuple(batch_shape), jnp.uint32)
 
     def one(self, batch_shape=()):
-        return jnp.broadcast_to(
-            jnp.asarray(self.spec.one_mont_limbs, jnp.uint32),
-            tuple(batch_shape) + (self.spec.n_limbs,),
-        )
+        return mont.bconst(self.spec.one_mont_limbs, batch_shape)
 
     def constant(self, x: int, batch_shape=()):
         """Embed a host integer constant (canonical) as a Montgomery value."""
         v = int_to_limbs(self.spec.to_mont(x % self.spec.modulus), self.spec.n_limbs)
-        return jnp.broadcast_to(
-            jnp.asarray(v, jnp.uint32), tuple(batch_shape) + (self.spec.n_limbs,)
-        )
+        return mont.bconst(v, batch_shape)
 
     def characteristic(self) -> int:
         return self.spec.modulus
@@ -147,14 +143,14 @@ class PrimeField(Field):
             )
             arr = jnp.asarray(v, jnp.uint32)
             if batch_shape:
-                arr = jnp.broadcast_to(arr, tuple(batch_shape) + (self.spec.n_limbs,))
+                arr = mont.bconst(v, batch_shape)
             return arr
         # nested list
         flat = np.asarray(x, dtype=object)
         shape = flat.shape
         vals = [self.spec.to_mont(int(v) % self.spec.modulus) for v in flat.reshape(-1)]
-        limbs = batch_int_to_limbs(vals, self.spec.n_limbs)
-        return jnp.asarray(limbs.reshape(shape + (self.spec.n_limbs,)))
+        limbs = batch_int_to_limbs(vals, self.spec.n_limbs)  # [L, n]
+        return jnp.asarray(limbs.reshape((self.spec.n_limbs,) + shape))
 
     @jit_method
     def _from_mont(self, a):
@@ -164,11 +160,11 @@ class PrimeField(Field):
         canon = np.asarray(self._from_mont(a))
         if canon.ndim == 1:
             return limbs_to_int(canon)
-        shape = canon.shape[:-1]
-        flat = canon.reshape(-1, canon.shape[-1])
-        out = np.empty((flat.shape[0],), dtype=object)
-        for i in range(flat.shape[0]):
-            out[i] = limbs_to_int(flat[i])
+        shape = canon.shape[1:]
+        flat = canon.reshape(canon.shape[0], -1)
+        out = np.empty((flat.shape[1],), dtype=object)
+        for i in range(flat.shape[1]):
+            out[i] = limbs_to_int(flat[:, i])
         return out.reshape(shape).tolist()
 
     def random(self, rng, batch_shape=()):

@@ -23,7 +23,7 @@ from ..fields.prime import PrimeField
 def _parity_device(field, x):
     """IETF sgn0 for prime fields: lowest canonical bit."""
     canonical = field.to_canonical_limbs(x)
-    return (canonical[..., 0] & 1).astype(jnp.bool_)
+    return (canonical[0] & 1).astype(jnp.bool_)
 
 
 class DeviceSWUMap:
@@ -132,7 +132,7 @@ def g1_hash_batch(messages, dst=b"QUUX-V01-CS02-with-BLS12381G1_XMD:SHA-256_SSWU
     @jax.jit
     def run(u):
         x, y = wb.map_to_curve(u)
-        n2 = x.shape[0]
+        n2 = x.shape[1]
         inf = jnp.zeros((n2,), jnp.bool_)
         pts = curve.from_affine((x, y, inf))
         p0 = curve.index_point(pts, slice(0, n2, 2))

@@ -40,27 +40,33 @@ def window_table(curve, base, c: int, scalar_bits: int):
 
 
 def msm(curve, table, scalars: jnp.ndarray, c: int):
-    """scalars: uint32[n, Ls] canonical limbs -> [n] points = k_i * base
-    (the reference's FixedBase::msm, fixed_base.rs:62-98)."""
-    n, L = scalars.shape
+    """scalars: uint32[Ls, n] canonical limb-major limbs -> [n] points =
+    k_i * base (the reference's FixedBase::msm, fixed_base.rs:62-98)."""
+    L, n = scalars.shape
     scalar_bits = 16 * L
     num_windows = -(-scalar_bits // c)
 
     # unsigned base-2^c digits per window
-    shifts = jnp.arange(16, dtype=jnp.uint32)
-    bits = ((scalars[:, :, None] >> shifts) & 1).reshape(n, 16 * L)
+    shifts = jnp.arange(16, dtype=jnp.uint32).reshape(1, 16, 1)
+    bits = ((scalars[:, None, :] >> shifts) & 1).reshape(16 * L, n)
     digit_list = []
     for w in range(num_windows):
         lo = w * c
         hi = min(lo + c, scalar_bits)
-        weights = jnp.asarray([1 << (i - lo) for i in range(lo, hi)], jnp.uint32)
-        digit_list.append((bits[:, lo:hi] * weights).sum(axis=1))
+        weights = jnp.asarray(
+            [1 << (i - lo) for i in range(lo, hi)], jnp.uint32
+        )[:, None]
+        digit_list.append((bits[lo:hi] * weights).sum(axis=0))
     digits = jnp.stack(digit_list, axis=0)  # [W, n] uint32
 
     acc = curve.zero((n,))
     for w in range(num_windows):
+        # table leaves are [W, 2^c, L, ...]; the gathered scalar axis n
+        # must move to the leading BATCH slot (right after limbs)
         entry = tuple(
-            jax.tree_util.tree_map(lambda t: t[w][digits[w]], coord)
+            jax.tree_util.tree_map(
+                lambda t: jnp.moveaxis(t[w][digits[w]], 0, 1), coord
+            )
             for coord in table
         )
         acc = curve.add(acc, entry)

@@ -4,12 +4,20 @@ This module is the TPU-native equivalent of the reference's field-arithmetic
 hot path — the CIOS Montgomery multiplier and its x86_64 asm specialization
 (reference: ff/src/fields/models/fp/montgomery_backend.rs:148-293 and
 ff-asm/src/lib.rs:51).  Instead of scalar 64x64->128 carry chains, elements
-are arrays of 16-bit limbs held in uint32 lanes (last axis = limbs,
-little-endian), and every operation is vectorized over arbitrary leading
-batch dimensions: one TPU vector op processes 8x128 field elements' worth
-of limbs at once.  Products of 16-bit limbs fit uint32 exactly, and column
-accumulators stay far below 2^32 (<= ~2^23 for 768-bit fields), so carries
-are resolved *lazily* — once per multiplication, not per partial product.
+are arrays of 16-bit limbs held in uint32 lanes, and every operation is
+vectorized over arbitrary batch dimensions.  Products of 16-bit limbs fit
+uint32 exactly, and column accumulators stay far below 2^32 (<= ~2^23 for
+768-bit fields), so carries are resolved *lazily* — once per
+multiplication, not per partial product.
+
+Layout: **limb-major** — element batches are ``uint32[L, *batch]`` with the
+limb axis FIRST (little-endian) and batch axes trailing.  On TPU the
+minor-most (lane) axis is then the batch, so a [L, n] array tiles HBM/VMEM
+with zero padding; the round-1 limb-minor [n, L] layout lane-padded L=16 up
+to 128 and wasted 7/8 of the bandwidth and memory of every array (the 2^24
+NTT OOM).  Binary ops auto-align mixed batch ranks by inserting singleton
+axes right after the limb axis (the limb-major analogue of NumPy's
+right-aligned broadcasting).
 
 Everything here is also valid on the CPU backend (tests) and is written so
 XLA can fuse the unrolled limb loops into a few big vector ops.  A Pallas
@@ -34,6 +42,33 @@ def _const(arr) -> jnp.ndarray:
     return jnp.asarray(arr, dtype=_U32)
 
 
+def expand(x: jnp.ndarray, batch_ndim: int) -> jnp.ndarray:
+    """Insert singleton batch axes after the limb axis so a [L, *b] value
+    broadcasts against a higher-rank [L, *B, *b] batch."""
+    missing = batch_ndim - (x.ndim - 1)
+    if missing <= 0:
+        return x
+    return x.reshape(x.shape[:1] + (1,) * missing + x.shape[1:])
+
+
+def _align(a: jnp.ndarray, b: jnp.ndarray):
+    """Auto-align two limb-major values of different batch rank."""
+    if a.ndim < b.ndim:
+        a = expand(a, b.ndim - 1)
+    elif b.ndim < a.ndim:
+        b = expand(b, a.ndim - 1)
+    return a, b
+
+
+def bconst(spec_limbs, batch_shape=()) -> jnp.ndarray:
+    """Host limb list -> [L, *batch] broadcast constant."""
+    v = _const(spec_limbs)
+    batch_shape = tuple(batch_shape)
+    return jnp.broadcast_to(
+        v.reshape(v.shape + (1,) * len(batch_shape)), v.shape + batch_shape
+    )
+
+
 # ---------------------------------------------------------------------------
 # carry / borrow primitives
 #
@@ -47,15 +82,15 @@ def _const(arr) -> jnp.ndarray:
 
 
 def _shift_up(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Shift limb-axis entries towards higher indices by k (zero fill)."""
-    pad = [(0, 0)] * (x.ndim - 1) + [(k, 0)]
-    return jnp.pad(x, pad)[..., : x.shape[-1]]
+    """Shift limb-axis (axis 0) entries towards higher indices by k."""
+    pad = [(k, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)[: x.shape[0]]
 
 
 def _ks_carries(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Kogge–Stone prefix: returns carry-IN per limb given per-limb
     generate/propagate bits (uint32 0/1)."""
-    L = g.shape[-1]
+    L = g.shape[0]
     shift = 1
     while shift < L:
         g = g | (p & _shift_up(g, shift))
@@ -71,7 +106,7 @@ def _add_limbs(a: jnp.ndarray, b: jnp.ndarray):
     prop = ((s & _MASK) == _MASK).astype(_U32)
     carry_in = _ks_carries(gen, prop)
     total = s + carry_in
-    carry_out = total[..., -1] >> LIMB_BITS
+    carry_out = total[-1] >> LIMB_BITS
     return total & _MASK, carry_out
 
 
@@ -81,7 +116,7 @@ def _sub_limbs(a: jnp.ndarray, b: jnp.ndarray):
     prop = (a == b).astype(_U32)
     borrow_in = _ks_carries(gen, prop)
     d = a - b - borrow_in
-    borrow_out = (a[..., -1] - b[..., -1] - borrow_in[..., -1]) >> 31
+    borrow_out = (a[-1] - b[-1] - borrow_in[-1]) >> 31
     return d & _MASK, borrow_out
 
 
@@ -95,7 +130,7 @@ def _normalize(cols: jnp.ndarray):
     prop = ((s & _MASK) == _MASK).astype(_U32)
     carry_in = _ks_carries(gen, prop)
     total = s + carry_in
-    carry_out = hi[..., -1] + (total[..., -1] >> LIMB_BITS)
+    carry_out = hi[-1] + (total[-1] >> LIMB_BITS)
     return total & _MASK, carry_out
 
 
@@ -106,18 +141,19 @@ def _propagate(cols: jnp.ndarray):
 
 def _cond_sub_modulus(spec: FieldSpec, x: jnp.ndarray, carry: jnp.ndarray):
     """Return x - p if (carry:x) >= p else x, for (carry:x) < 2p."""
-    p = _const(spec.p_limbs)
-    d, borrow = _sub_limbs(x, jnp.broadcast_to(p, x.shape))
+    p = bconst(spec.p_limbs, x.shape[1:])
+    d, borrow = _sub_limbs(x, p)
     ge = jnp.logical_or(carry.astype(bool), jnp.logical_not(borrow.astype(bool)))
-    return jnp.where(ge[..., None], d, x)
+    return jnp.where(ge, d, x)
 
 
 # ---------------------------------------------------------------------------
-# ring operations (inputs/outputs: uint32[..., L], Montgomery form, < p)
+# ring operations (inputs/outputs: uint32[L, ...], Montgomery form, < p)
 # ---------------------------------------------------------------------------
 
 
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    a, b = _align(a, b)
     s, carry = _add_limbs(a, b)
     return _cond_sub_modulus(spec, s, carry)
 
@@ -127,41 +163,45 @@ def double(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    a, b = _align(a, b)
     d, borrow = _sub_limbs(a, b)
-    p = jnp.broadcast_to(_const(spec.p_limbs), d.shape)
+    p = bconst(spec.p_limbs, d.shape[1:])
     d_plus_p, _ = _add_limbs(d, p)
-    return jnp.where(borrow[..., None].astype(bool), d_plus_p, d)
+    return jnp.where(borrow.astype(bool), d_plus_p, d)
 
 
 def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    p = jnp.broadcast_to(_const(spec.p_limbs), a.shape)
+    p = bconst(spec.p_limbs, a.shape[1:])
     d, _ = _sub_limbs(p, a)
-    return jnp.where(is_zero(spec, a)[..., None], a, d)
+    return jnp.where(is_zero(spec, a), a, d)
 
 
 def is_zero(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == 0, axis=-1)
+    return jnp.all(a == 0, axis=0)
 
 
 def equal(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == b, axis=-1)
+    a, b = _align(a, b)
+    return jnp.all(a == b, axis=0)
 
 
 def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise select over the batch: mask broadcast across limbs."""
-    return jnp.where(mask[..., None], a, b)
+    """Elementwise select over the batch (mask broadcasts right-aligned
+    against the trailing batch axes)."""
+    return jnp.where(mask, a, b)
 
 
 def _antidiag_sum(P: jnp.ndarray) -> jnp.ndarray:
-    """Sum the anti-diagonals of the trailing [L, L] axes: out[k] =
-    sum_{i+j=k} P[..., i, j], k in [0, 2L-1).  Pure reshape trick
+    """Sum the anti-diagonals of the LEADING [L, L] axes: out[k] =
+    sum_{i+j=k} P[i, j, ...], k in [0, 2L-1).  Pure reshape trick
     (pad rows to 2L, flatten, drop tail, re-fold): flat index i*2L + j
     equals position (i, i+j) in a width-(2L-1) grid."""
-    *batch, L, _ = P.shape
+    L = P.shape[0]
+    batch = P.shape[2:]
     D = 2 * L - 1
-    pad = [(0, 0)] * len(batch) + [(0, 0), (0, L)]
-    flat = jnp.pad(P, pad).reshape(*batch, 2 * L * L)[..., : L * D]
-    return flat.reshape(*batch, L, D).sum(axis=-2)
+    pad = [(0, 0), (0, L)] + [(0, 0)] * len(batch)
+    flat = jnp.pad(P, pad).reshape((2 * L * L,) + batch)[: L * D]
+    return flat.reshape((L, D) + batch).sum(axis=0)
 
 
 def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -172,7 +212,7 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     small compiled programs:
 
       * the full schoolbook product is ONE broadcast multiply
-        [..., L, 1] x [..., 1, L] followed by an anti-diagonal fold —
+        [L, 1, ...] x [1, L, ...] followed by an anti-diagonal fold —
         no per-limb scatter ops;
       * the interleaved Montgomery reduction (inherently sequential in
         the limb index) runs as a lax.fori_loop whose body touches an
@@ -184,37 +224,38 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     from .. import config
 
     L = spec.n_limbs
+    a, b = _align(a, b)
     a, b = jnp.broadcast_arrays(a, b)
-    batch = a.shape[:-1]
+    batch = a.shape[1:]
     if config.pallas_enabled() and int(np.prod(batch or (1,))) >= config.pallas_min_batch:
         from . import mont_pallas
 
         return mont_pallas.mul(spec, a, b)
-    p = _const(spec.p_limbs)
     inv = np.uint32(spec.inv16)
+    p_exp = bconst(spec.p_limbs, (1,) * len(batch))  # [L, 1...]
 
-    P = a[..., :, None] * b[..., None, :]  # exact: (2^16-1)^2 < 2^32
-    c_lo = _antidiag_sum(P & _MASK)  # [..., 2L-1], <= L * (2^16-1)
+    P = a[:, None] * b[None, :]  # exact: (2^16-1)^2 < 2^32
+    c_lo = _antidiag_sum(P & _MASK)  # [2L-1, ...], <= L * (2^16-1)
     c_hi = _antidiag_sum(P >> LIMB_BITS)
-    cols = jnp.zeros(batch + (2 * L + 1,), dtype=_U32)
-    cols = cols.at[..., : 2 * L - 1].add(c_lo)
-    cols = cols.at[..., 1 : 2 * L].add(c_hi)
+    cols = jnp.zeros((2 * L + 1,) + batch, dtype=_U32)
+    cols = cols.at[: 2 * L - 1].add(c_lo)
+    cols = cols.at[1 : 2 * L].add(c_hi)
 
-    zero1 = jnp.zeros(batch + (1,), dtype=_U32)
+    zero1 = jnp.zeros((1,) + batch, dtype=_U32)
 
     if isinstance(a, jax.core.Tracer):
         # under jit: O(1)-size compiled loop body
         def red_body(i, cols):
-            window = jax.lax.dynamic_slice_in_dim(cols, i, L + 1, axis=-1)
-            m = ((window[..., 0] & _MASK) * inv) & _MASK
-            mp = m[..., None] * p
+            window = jax.lax.dynamic_slice_in_dim(cols, i, L + 1, axis=0)
+            m = ((window[0] & _MASK) * inv) & _MASK
+            mp = m[None] * p_exp
             window = (
                 window
-                + jnp.concatenate([mp & _MASK, zero1], axis=-1)
-                + jnp.concatenate([zero1, mp >> LIMB_BITS], axis=-1)
+                + jnp.concatenate([mp & _MASK, zero1], axis=0)
+                + jnp.concatenate([zero1, mp >> LIMB_BITS], axis=0)
             )
-            window = window.at[..., 1].add(window[..., 0] >> LIMB_BITS)
-            return jax.lax.dynamic_update_slice_in_dim(cols, window, i, axis=-1)
+            window = window.at[1].add(window[0] >> LIMB_BITS)
+            return jax.lax.dynamic_update_slice_in_dim(cols, window, i, axis=0)
 
         cols = jax.lax.fori_loop(0, L, red_body, cols)
     else:
@@ -222,14 +263,14 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         # every call (the closure is fresh each time); plain unrolled ops
         # dispatch through the per-op eager cache instead.
         for i in range(L):
-            m = ((cols[..., i] & _MASK) * inv) & _MASK
-            mp = m[..., None] * p
-            cols = cols.at[..., i : i + L].add(mp & _MASK)
-            cols = cols.at[..., i + 1 : i + L + 1].add(mp >> LIMB_BITS)
-            cols = cols.at[..., i + 1].add(cols[..., i] >> LIMB_BITS)
-    res, carry = _normalize(cols[..., L : 2 * L + 1])
-    carry = carry + res[..., L]  # top column folds into the carry bit
-    return _cond_sub_modulus(spec, res[..., :L], carry)
+            m = ((cols[i] & _MASK) * inv) & _MASK
+            mp = m[None] * p_exp
+            cols = cols.at[i : i + L].add(mp & _MASK)
+            cols = cols.at[i + 1 : i + L + 1].add(mp >> LIMB_BITS)
+            cols = cols.at[i + 1].add(cols[i] >> LIMB_BITS)
+    res, carry = _normalize(cols[L : 2 * L + 1])
+    carry = carry + res[L]  # top column folds into the carry bit
+    return _cond_sub_modulus(spec, res[:L], carry)
 
 
 def square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -239,12 +280,12 @@ def square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 
 def to_mont(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
     """Canonical limbs -> Montgomery form (multiply by R^2)."""
-    return mul(spec, x, jnp.broadcast_to(_const(spec.r2_limbs), x.shape))
+    return mul(spec, x, bconst(spec.r2_limbs, x.shape[1:]))
 
 
 def from_mont(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
     """Montgomery form -> canonical limbs (multiply by 1 = reduce)."""
-    return mul(spec, x, jnp.broadcast_to(_const(spec.unit_limbs), x.shape))
+    return mul(spec, x, bconst(spec.unit_limbs, x.shape[1:]))
 
 
 # ---------------------------------------------------------------------------
@@ -262,7 +303,7 @@ def pow_fixed(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     e = int(e)
     if e < 0:
         raise ValueError("negative exponents not supported; invert first")
-    one = jnp.broadcast_to(_const(spec.one_mont_limbs), a.shape)
+    one = bconst(spec.one_mont_limbs, a.shape[1:])
     if e == 0:
         return one
     nbits = e.bit_length()
@@ -280,7 +321,7 @@ def pow_fixed(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     def body(res, bit):
         res = square(spec, res)
         res = select(
-            jnp.broadcast_to(bit, res.shape[:-1]), mul(spec, res, a), res
+            jnp.broadcast_to(bit, res.shape[1:]), mul(spec, res, a), res
         )
         return res, None
 
@@ -301,29 +342,32 @@ def inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 def batch_inverse(spec: FieldSpec, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     """Batched inversion via Montgomery's trick (one inversion total).
 
-    Parallel formulation of the reference's ``batch_inversion``
-    (ff/src/fields/mod.rs:313-375): prefix and suffix running products via
-    work-efficient associative scans, then inv_i = prefix_{i-1} *
-    suffix_{i+1} * (prod all)^-1.  Zero entries map to zero.
+    ``axis`` indexes the BATCH axes (axis=0 is the leading batch axis,
+    i.e. array axis 1 in the limb-major layout).  Parallel formulation of
+    the reference's ``batch_inversion`` (ff/src/fields/mod.rs:313-375):
+    prefix and suffix running products via work-efficient associative
+    scans, then inv_i = prefix_{i-1} * suffix_{i+1} * (prod all)^-1.
+    Zero entries map to zero.
     """
-    if axis != 0:
-        a = jnp.moveaxis(a, axis, 0)
+    ax = axis + 1 if axis >= 0 else axis
+    if ax != 1:
+        a = jnp.moveaxis(a, ax, 1)
     zero_mask = is_zero(spec, a)
-    one = jnp.broadcast_to(_const(spec.one_mont_limbs), a.shape)
-    safe = jnp.where(zero_mask[..., None], one, a)
+    one = bconst(spec.one_mont_limbs, a.shape[1:])
+    safe = jnp.where(zero_mask, one, a)
 
     mul_fn = lambda x, y: mul(spec, x, y)
-    prefix = jax.lax.associative_scan(mul_fn, safe, axis=0)
-    suffix = jax.lax.associative_scan(mul_fn, safe, axis=0, reverse=True)
-    total_inv = inv(spec, prefix[-1])
+    prefix = jax.lax.associative_scan(mul_fn, safe, axis=1)
+    suffix = jax.lax.associative_scan(mul_fn, safe, axis=1, reverse=True)
+    total_inv = inv(spec, prefix[:, -1])
 
-    n = a.shape[0]
-    left = jnp.concatenate([one[:1], prefix[: n - 1]], axis=0)
-    right = jnp.concatenate([suffix[1:], one[:1]], axis=0)
-    out = mul(spec, mul(spec, left, right), total_inv[None])
-    out = jnp.where(zero_mask[..., None], jnp.zeros_like(out), out)
-    if axis != 0:
-        out = jnp.moveaxis(out, 0, axis)
+    n = a.shape[1]
+    left = jnp.concatenate([one[:, :1], prefix[:, : n - 1]], axis=1)
+    right = jnp.concatenate([suffix[:, 1:], one[:, :1]], axis=1)
+    out = mul(spec, mul(spec, left, right), total_inv[:, None])
+    out = jnp.where(zero_mask, jnp.zeros_like(out), out)
+    if ax != 1:
+        out = jnp.moveaxis(out, 1, ax)
     return out
 
 
@@ -331,7 +375,8 @@ def sum_of_products(spec: FieldSpec, a_list, b_list) -> jnp.ndarray:
     """sum_i a_i * b_i (reference: ff/src/fields/mod.rs sum_of_products).
 
     v1: fold of full Montgomery products.  TODO(perf): share the single
-    final reduction across terms (the reference's interleaved formulation).
+    final reduction across terms (the reference's interleaved formulation,
+    montgomery_backend.rs:391-495).
     """
     acc = None
     for a, b in zip(a_list, b_list):

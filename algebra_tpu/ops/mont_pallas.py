@@ -4,12 +4,12 @@ This is the TPU counterpart of the reference's x86_64 Montgomery assembly
 (ff-asm/src/lib.rs:51, dispatched at montgomery_backend.rs:150-181): the
 hot multiply loop compiled as ONE fused kernel instead of ~10^2 XLA ops.
 
-Layout strategy: API arrays are [N, L] (limb-minor, like the rest of the
-framework); inside the kernel each block is transposed once to limb-major
-[L, NB] so that the element axis rides the 128-wide vector lanes at full
-utilization (L is 16..48 — putting IT on lanes would waste 60-90% of the
-VPU).  All limb loops are static unrolls over L; carries stay lazy in
-32-bit accumulators exactly as in ops/mont.py.
+Layout: arrays are limb-major [L, N] end to end — the element axis rides
+the 128-wide vector lanes at full utilization and blocks DMA with zero
+tile padding (L is 16..48; the round-1 [N, L] API layout lane-padded L up
+to 128 and wasted 7/8 of HBM bandwidth on every load).  All limb loops
+are static unrolls over L; carries stay lazy in 32-bit accumulators
+exactly as in ops/mont.py.
 """
 
 from __future__ import annotations
@@ -60,7 +60,7 @@ def _lm_mul(spec: FieldSpec, a, b):
             parts.append(cols[:i])
         parts.append(seg)
         if i + width < cols.shape[0]:
-            parts.append(cols[i + width :]),
+            parts.append(cols[i + width :])
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     cols = jnp.zeros((2 * L + 1, nb), jnp.uint32)
@@ -151,9 +151,7 @@ def _lm_sub(spec: FieldSpec, a, b):
 
 
 def _mul_kernel(spec: FieldSpec, a_ref, b_ref, o_ref):
-    a = a_ref[...].T  # [L, NB]
-    b = b_ref[...].T
-    o_ref[...] = _lm_mul(spec, a, b).T
+    o_ref[...] = _lm_mul(spec, a_ref[...], b_ref[...])
 
 
 @functools.lru_cache(maxsize=None)
@@ -163,10 +161,10 @@ def _mul_call(spec: FieldSpec, n: int, block: int):
 
     L = spec.n_limbs
     grid = (n // block,)
-    bspec = pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_mul_kernel, spec),
-        out_shape=jax.ShapeDtypeStruct((n, L), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
         grid=grid,
         in_specs=[bspec, bspec],
         out_specs=bspec,
@@ -176,72 +174,20 @@ def _mul_call(spec: FieldSpec, n: int, block: int):
 DEFAULT_BLOCK = 1024
 
 
-def _xor_butterfly_kernel(spec: FieldSpec, half: int, block: int,
-                          x_ref, p_ref, w_ref, o_ref):
-    """One DIT butterfly stage in XOR-pairing form.
-
-    Position i holds x; its XOR-partner (gathered outside) is p.  With
-    sel = (i & half) != 0:  out = sel ? (lo - w*hi) : (lo + w*hi) where
-    (lo, hi) = sel ? (p, x) : (x, p).  sel derives from the global
-    position IN-KERNEL — a [n, 1] mask array in HBM would tile-pad 128x
-    (8 GB at 2^24)."""
-    from jax.experimental import pallas as pl
-
-    x = x_ref[...].T  # [L, NB]
-    p = p_ref[...].T
-    w = w_ref[...].T
-    pos = pl.program_id(0) * block + jax.lax.broadcasted_iota(
-        jnp.int32, (1, block), 1
-    )
-    sel = (pos & half) != 0  # [1, NB]
-    a = jnp.where(sel, p, x)
-    b = jnp.where(sel, x, p)
-    t = _lm_mul(spec, b, w)
-    res = jnp.where(sel, _lm_sub(spec, a, t), _lm_add(spec, a, t))
-    o_ref[...] = res.T
-
-
-@functools.lru_cache(maxsize=None)
-def _xor_butterfly_call(spec: FieldSpec, n: int, half: int, block: int):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    L = spec.n_limbs
-    grid = (n // block,)
-    dspec = pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_xor_butterfly_kernel, spec, half, block),
-        out_shape=jax.ShapeDtypeStruct((n, L), jnp.uint32),
-        grid=grid,
-        in_specs=[dspec, dspec, dspec],
-        out_specs=dspec,
-    )
-
-
-def xor_butterfly(spec: FieldSpec, x, partner, w, half: int,
-                  block: int = 512):
-    """XOR-paired butterfly stage over [n, L] arrays (see kernel doc)."""
-    n = x.shape[0]
-    blk = min(block, n)
-    while n % blk:
-        blk //= 2
-    return _xor_butterfly_call(spec, n, half, blk)(x, partner, w)
-
-
 def _butterfly_kernel(spec: FieldSpec, reps: int, lo_ref, hi_ref, w_ref,
                       olo_ref, ohi_ref):
     """One DIT butterfly stage, fused: t = hi*w; out = (lo+t, lo-t).
 
-    lo/hi blocks are [NB, L]; w is [NB/reps, L] and repeats `reps` times
+    lo/hi blocks are [L, NB]; w is [L, NB/reps] and repeats `reps` times
     along the block (the stage's twiddle period divides the block)."""
-    lo = lo_ref[...].T  # [L, NB]
-    hi = hi_ref[...].T
-    w = w_ref[...].T  # [L, NB/reps]
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    w = w_ref[...]
     if reps > 1:
         w = jnp.tile(w, (1, reps))
     t = _lm_mul(spec, hi, w)
-    olo_ref[...] = _lm_add(spec, lo, t).T
-    ohi_ref[...] = _lm_sub(spec, lo, t).T
+    olo_ref[...] = _lm_add(spec, lo, t)
+    ohi_ref[...] = _lm_sub(spec, lo, t)
 
 
 @functools.lru_cache(maxsize=None)
@@ -252,24 +198,24 @@ def _butterfly_call(spec: FieldSpec, n_half: int, half: int, block: int):
 
     L = spec.n_limbs
     grid = (n_half // block,)
-    dspec = pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     if half >= block:
         # twiddles blocked alongside the data
         wspec = pl.BlockSpec(
-            (block, L), lambda i: (i % (half // block), 0),
+            (L, block), lambda i: (0, i % (half // block)),
             memory_space=pltpu.VMEM,
         )
         reps = 1
     else:
         # whole (small) twiddle table in VMEM, tiled in-kernel
-        wspec = pl.BlockSpec((half, L), lambda i: (0, 0),
+        wspec = pl.BlockSpec((L, half), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
         reps = block // half
     return pl.pallas_call(
         functools.partial(_butterfly_kernel, spec, reps),
         out_shape=(
-            jax.ShapeDtypeStruct((n_half, L), jnp.uint32),
-            jax.ShapeDtypeStruct((n_half, L), jnp.uint32),
+            jax.ShapeDtypeStruct((L, n_half), jnp.uint32),
+            jax.ShapeDtypeStruct((L, n_half), jnp.uint32),
         ),
         grid=grid,
         in_specs=[dspec, dspec, wspec],
@@ -281,10 +227,10 @@ def butterfly_stage(spec: FieldSpec, lo: jnp.ndarray, hi: jnp.ndarray,
                     w: jnp.ndarray, block: int = DEFAULT_BLOCK):
     """Batched butterflies: returns (lo + hi*w, lo - hi*w).
 
-    lo, hi: [n_half, L] flat butterfly operands; w: [half, L] twiddles
+    lo, hi: [L, n_half] flat butterfly operands; w: [L, half] twiddles
     with period `half` along the flat axis (n_half % half == 0)."""
-    n_half, L = lo.shape
-    half = w.shape[0]
+    L, n_half = lo.shape
+    half = w.shape[1]
     blk = min(block, n_half)
     # block must divide n_half, and interact cleanly with the period
     while n_half % blk or (half >= blk and half % blk) or (
@@ -298,20 +244,20 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray,
         block: int = DEFAULT_BLOCK) -> jnp.ndarray:
     """Montgomery product via the Pallas kernel.
 
-    a, b: uint32[..., L]; the batch is flattened and padded to a block
+    a, b: uint32[L, ...]; the batch is flattened and padded to a block
     multiple.  Bit-identical to ops/mont.mul.
     """
     L = spec.n_limbs
     a, b = jnp.broadcast_arrays(a, b)
-    batch = a.shape[:-1]
+    batch = a.shape[1:]
     n = int(np.prod(batch)) if batch else 1
-    af = a.reshape(n, L)
-    bf = b.reshape(n, L)
+    af = a.reshape(L, n)
+    bf = b.reshape(L, n)
     nb = max(block, 128)
     padded = -(-n // nb) * nb
     if padded != n:
-        pad = ((0, padded - n), (0, 0))
+        pad = ((0, 0), (0, padded - n))
         af = jnp.pad(af, pad)
         bf = jnp.pad(bf, pad)
     out = _mul_call(spec, padded, nb)(af, bf)
-    return out[:n].reshape(*batch, L)
+    return out[:, :n].reshape((L,) + batch)

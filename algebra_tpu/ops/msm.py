@@ -56,7 +56,7 @@ def signed_digits(scalars: jnp.ndarray, c: int, num_windows: int,
                   last_unsigned: bool = False) -> jnp.ndarray:
     """Signed base-2^c digits of canonical limb scalars.
 
-    scalars: uint32[n, Ls] (16-bit limbs, little-endian).
+    scalars: uint32[Ls, n] (16-bit limbs, limb-major, little-endian).
     Returns int32[num_windows, n] with digits in [-2^(c-1), 2^(c-1)].
     Vectorized equivalent of make_digits (variable_base/mod.rs:249-288).
 
@@ -64,9 +64,9 @@ def signed_digits(scalars: jnp.ndarray, c: int, num_windows: int,
     (no recentering, so no extra carry window); the caller guarantees
     that value fits 2^(c-1) (scalar_bits - c*(W-1) <= c-1).
     """
-    n, L = scalars.shape
-    zero_col = jnp.zeros((n, 1), jnp.uint32)
-    padded = jnp.concatenate([scalars, zero_col], axis=1)
+    L, n = scalars.shape
+    zero_row = jnp.zeros((1, n), jnp.uint32)
+    padded = jnp.concatenate([scalars, zero_row], axis=0)
     digits = []
     carry = jnp.zeros((n,), jnp.uint32)
     half = jnp.uint32(1 << (c - 1))
@@ -77,9 +77,9 @@ def signed_digits(scalars: jnp.ndarray, c: int, num_windows: int,
         if k >= L:
             raw = jnp.zeros((n,), jnp.uint32)
         else:
-            lo_bits = padded[:, k] >> off
+            lo_bits = padded[k] >> off
             hi_bits = jnp.where(
-                off == 0, jnp.uint32(0), padded[:, min(k + 1, L)] << (16 - off)
+                off == 0, jnp.uint32(0), padded[min(k + 1, L)] << (16 - off)
             )
             raw = (lo_bits | hi_bits) & jnp.uint32((1 << c) - 1)
         d = raw + carry
@@ -128,7 +128,8 @@ def plan_windows(scalar_bits: int, c0: int, n: int):
 
 
 def _tree_take(value, idx):
-    return jax.tree_util.tree_map(lambda a: a[idx], value)
+    """Gather/slice along the leading BATCH axis of limb-major leaves."""
+    return jax.tree_util.tree_map(lambda a: a[:, idx], value)
 
 
 def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
@@ -136,12 +137,12 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
     """Variable-base MSM:  sum_i scalars[i] * bases[i].
 
     curve: SWCurve kind; bases_aff: affine batch (x, y, inf) of n points;
-    scalars: uint32[n, Ls] canonical 16-bit limbs (< 2^scalar_bits;
+    scalars: uint32[Ls, n] canonical 16-bit limbs (< 2^scalar_bits;
     default 16*Ls).  Returns a single Jacobian point (batch shape ()).
     """
     B = curve.base
     x, y, inf = bases_aff
-    n = scalars.shape[0]
+    n = scalars.shape[1]
     if n < 64:
         # tiny inputs: direct per-point scalar mul + scan-fold sum (the
         # reference also special-cases small sizes, variable_base/mod.rs
@@ -151,7 +152,7 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         P = curve.scalar_mul(curve.from_affine(bases_aff), scalars)
         return scan_sum(curve, P, axis=0)
     if scalar_bits is None:
-        scalar_bits = min(16 * scalars.shape[1],
+        scalar_bits = min(16 * scalars.shape[0],
                           curve.scalar_modulus.bit_length())
     if c is None:
         c, num_windows = plan_windows(scalar_bits, default_window_size(n), n)
@@ -226,7 +227,7 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         )
         buckets = tuple(
             jax.tree_util.tree_map(
-                lambda full, t: jnp.concatenate([full[:-1], t], axis=0),
+                lambda full, t: jnp.concatenate([full[:, :-1], t], axis=1),
                 coord_full,
                 coord_top,
             )
@@ -243,14 +244,19 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
 
     # Horner fold over windows, most significant first, as a scan
     # (unrolling W * c doublings made the XLA graph enormous).
+    # lax.scan consumes leaf axis 0, so move the window axis ahead of the
+    # limb axis first.
     wsums_desc = curve.index_point(window_sums, slice(None, None, -1))
+    wsums_scan = jax.tree_util.tree_map(
+        lambda a: jnp.moveaxis(a, 1, 0), wsums_desc
+    )
 
     def fold(total, wsum):
         for _ in range(c):
             total = curve.double(total)
         return curve.add(total, tuple(wsum)), None
 
-    total, _ = jax.lax.scan(fold, curve.zero(()), wsums_desc)
+    total, _ = jax.lax.scan(fold, curve.zero(()), wsums_scan)
     return total
 
 
@@ -262,19 +268,15 @@ def _hs_suffix_scan(curve, P, B: int):
     d = 1
     while d < B:
         shifted = tuple(
-            jax.tree_util.tree_map(lambda a: jnp.roll(a, -d, axis=1), coord)
+            jax.tree_util.tree_map(lambda a: jnp.roll(a, -d, axis=2), coord)
             for coord in P
         )
         col = jnp.arange(B)
-        valid = (col + d < B)[None, :]
+        valid = col + d < B  # [B], right-aligns against [L, W, B]
         # force wrapped lanes to the identity: z = 0 marks infinity
         x, y, z = shifted
         z = jax.tree_util.tree_map(
-            lambda a: jnp.where(
-                valid.reshape(valid.shape + (1,) * (a.ndim - 2)), a,
-                jnp.zeros_like(a)
-            ),
-            z,
+            lambda a: jnp.where(valid, a, jnp.zeros_like(a)), z
         )
         P = curve.add(P, (x, y, z))
         d *= 2
@@ -287,8 +289,9 @@ def scan_sum(curve, P, axis: int = 0):
     O(n) sequential adds but only ONE compiled add body — the right
     trade for small n (partial-point reductions, dry runs, CPU tests);
     use ``_tree_sum`` for large batches on real hardware."""
-    P0 = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, axis, 0), P)
-    rest = jax.tree_util.tree_leaves(P0)[0].shape[1:-1]
+    ax = axis + 1 if axis >= 0 else axis
+    P0 = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, ax, 0), P)
+    rest = jax.tree_util.tree_leaves(P0)[0].shape[2:]
 
     def body(acc, p):
         return curve.add(acc, tuple(p)), None
@@ -298,7 +301,8 @@ def scan_sum(curve, P, axis: int = 0):
 
 
 def _tree_sum(curve, P, axis: int):
-    """Tree reduction of a point batch along one axis via curve.add."""
+    """Tree reduction of a point batch along one BATCH axis via curve.add."""
+    axis = axis + 1 if axis >= 0 else axis
     n = jax.tree_util.tree_leaves(P)[0].shape[axis]
     while n > 1:
         half = n // 2
@@ -331,7 +335,7 @@ def msm_chunks(curve, bases_aff, scalars: jnp.ndarray, chunk: int = 1 << 20,
     (variable_base/mod.rs:54-85, stream_pippenger.rs:10-60).  Each
     partial is one Jacobian point, so checkpoint/resume costs 3 field
     elements per chunk boundary."""
-    n = scalars.shape[0]
+    n = scalars.shape[1]
     if c is None:
         c = default_window_size(min(n, chunk))
     total = None
@@ -342,7 +346,7 @@ def msm_chunks(curve, bases_aff, scalars: jnp.ndarray, chunk: int = 1 << 20,
             curve,
             (_tree_take(x, slice(off, end)), _tree_take(y, slice(off, end)),
              inf[off:end]),
-            scalars[off:end],
+            scalars[:, off:end],
             c=c,
         )
         total = part if total is None else curve.add(total, part)

@@ -3,10 +3,24 @@
 TPU-native equivalent of the reference's radix-2 FFT engine
 (poly/src/domain/radix2/fft.rs:22-366).  Instead of recursive/chunked
 butterflies with rayon, each stage is one full-width vector operation over
-the batched limb arrays: at stage s the coefficient axis is reshaped to
-(n/m, m) and the m/2-wide butterfly applies to all rows at once.  The
-twiddle tables are built *on device* by repeated doubling (log n fused
-multiplies) — no host big-int loops at 2^24 scale.
+the batched limb arrays.
+
+Layout: limb-major — coefficient arrays are uint32[L, ..., n] with the
+coefficient index on the MINOR axis (TPU lanes), so a 2^24-point Fr array
+is 1 GiB of HBM with zero tile padding (the round-1 [n, L] layout padded
+8x and OOM'd the flagship size).
+
+Two formulations:
+
+  * ``fft_stages`` — classic in-order DIT over the trailing axis.  Fine on
+    CPU and for small transforms, but stage s materializes [L, n/m, m]
+    temporaries whose minor axis m is tiny in early stages (lane padding
+    on TPU).
+  * ``fft_four_step`` — Bailey decomposition n = n1*n2 (the same algebra
+    as parallel/ntt_sharded.py, intra-chip): column FFTs along MAJOR axes
+    with the other factor riding the lanes, one twiddle multiply, one
+    [n1, n2] transpose.  Every materialized array keeps a >= 128-wide
+    minor axis, so the TPU path is padding-free at every stage.
 """
 
 from __future__ import annotations
@@ -17,6 +31,8 @@ import jax.numpy as jnp
 
 from ..fields.spec import FieldSpec
 from . import mont
+
+_FOUR_STEP_MIN = 1 << 15  # below this the plain path is fine everywhere
 
 
 def bit_reverse_indices(n: int) -> np.ndarray:
@@ -30,7 +46,7 @@ def bit_reverse_indices(n: int) -> np.ndarray:
 
 
 def powers_from_int(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:
-    """[n, L] table of base^i (Montgomery form) via device-side doubling.
+    """[L, n] table of base^i (Montgomery form) via device-side doubling.
 
     Each round doubles the table length with one batched multiply by the
     host-computed constant base^(2^k); log2(n) multiplies total.
@@ -39,7 +55,7 @@ def powers_from_int(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:
 
     p = spec.modulus
     table = jnp.asarray(int_to_limbs(spec.to_mont(1), spec.n_limbs), jnp.uint32)[
-        None, :
+        :, None
     ]
     k = 1
     while k < n:
@@ -47,119 +63,166 @@ def powers_from_int(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:
         factor = jnp.asarray(
             int_to_limbs(spec.to_mont(factor_int), spec.n_limbs), jnp.uint32
         )
-        table = jnp.concatenate([table, mont.mul(spec, table, factor[None, :])], axis=0)
+        table = jnp.concatenate(
+            [table, mont.mul(spec, table, factor[:, None])], axis=1
+        )
         k *= 2
-    return table[:n]
+    return table[:, :n]
 
 
 def powers_from_device(spec: FieldSpec, base: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[n, L] table of base^i for a *traced* base value (same doubling)."""
-    one = jnp.asarray(spec.one_mont_limbs, jnp.uint32)[None, :]
+    """[L, n] table of base^i for a *traced* base value (same doubling)."""
+    one = jnp.asarray(spec.one_mont_limbs, jnp.uint32)[:, None]
     table = one
-    factor = base[None, :] if base.ndim == 1 else base
+    factor = base[:, None] if base.ndim == 1 else base
     k = 1
     while k < n:
-        table = jnp.concatenate([table, mont.mul(spec, table, factor)], axis=0)
-        factor = mont.square(spec, factor)
-        k *= 2
-    return table[:n]
-
-
-def powers_from_device_batch(spec: FieldSpec, bases: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[R, L] traced bases -> [R, n, L] tables with table[r, i] = bases[r]^i
-    (per-row doubling; used by the sharded four-step NTT twiddle)."""
-    R = bases.shape[0]
-    one = jnp.broadcast_to(
-        jnp.asarray(spec.one_mont_limbs, jnp.uint32), (R, 1, spec.n_limbs)
-    )
-    table = one
-    factor = bases[:, None, :]
-    k = 1
-    while k < n:
-        table = jnp.concatenate(
-            [table, mont.mul(spec, table, factor)], axis=1
-        )
+        table = jnp.concatenate([table, mont.mul(spec, table, factor)], axis=1)
         factor = mont.square(spec, factor)
         k *= 2
     return table[:, :n]
 
 
+def powers_from_device_batch(spec: FieldSpec, bases: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[L, R] traced bases -> [L, R, n] tables with table[:, r, i] =
+    bases[r]^i (per-row doubling; used by the sharded four-step NTT)."""
+    R = bases.shape[1]
+    one = mont.bconst(spec.one_mont_limbs, (R, 1))
+    table = one
+    factor = bases[:, :, None]
+    k = 1
+    while k < n:
+        table = jnp.concatenate([table, mont.mul(spec, table, factor)], axis=2)
+        factor = mont.square(spec, factor)
+        k *= 2
+    return table[:, :, :n]
+
+
 def fft_stages(spec: FieldSpec, x: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarray:
     """In-place-order DIT butterflies; x must already be bit-reversed.
 
-    x: uint32[..., n, L]; roots: uint32[n/2, L] table of omega^j.
+    x: uint32[L, ..., n]; roots: uint32[L, n/2] table of omega^j.
     Stage s uses the stride-(n/m) subsample of the root table.
-
-    On TPU each stage runs as ONE fused Pallas kernel (twiddle multiply +
-    modular add/sub with in-register carries) — ~3 HBM passes per stage
-    instead of the ~15 the composed jnp ops cost.
     """
-    from .. import config
-
-    n = x.shape[-2]
-    L = x.shape[-1]
+    n = x.shape[-1]
     log_n = n.bit_length() - 1
     shape = x.shape
-    total = 1
-    for d in shape[:-1]:
-        total *= d
-    use_pallas = config.pallas_enabled() and total // 2 >= config.pallas_min_batch
-
-    if use_pallas and len(shape) == 2 and n > (1 << 22):
-        # Very large transforms: XOR-pairing formulation — every stage
-        # works on flat [n, L] arrays with device-computed indices, so no
-        # [G, m, L] reshape temporaries (whose lane padding makes XLA
-        # allocate 8-16x the logical size and OOMs HBM at 2^24).  Slower
-        # per element than the reshape path (two gathers per stage) but
-        # memory-bounded.
-        from . import mont_pallas
-
-        idx = jnp.arange(n, dtype=jnp.int32)
-        for s in range(1, log_n + 1):
-            m = 1 << s
-            half = m >> 1
-            j = idx & (m - 1)
-            partner = jnp.take(x, idx ^ half, axis=0)
-            w_idx = (j & (half - 1)) * (n // m)
-            w_full = jnp.take(roots, w_idx, axis=0)
-            x = mont_pallas.xor_butterfly(spec, x, partner, w_full, half)
-        return x
-
-    if use_pallas and len(shape) == 2:
-        # fused butterfly-stage kernels over the reshaped lo/hi halves
-        from . import mont_pallas
-
-        for s in range(1, log_n + 1):
-            m = 1 << s
-            half = m >> 1
-            w = roots[:: n // m] if m < n else roots  # [half, L]
-            xv = x.reshape((-1, m, L))
-            lo = xv[:, :half].reshape(-1, L)
-            hi = xv[:, half:].reshape(-1, L)
-            olo, ohi = mont_pallas.butterfly_stage(spec, lo, hi, w)
-            x = jnp.concatenate(
-                [olo.reshape(-1, half, L), ohi.reshape(-1, half, L)], axis=1
-            ).reshape(shape)
-        return x
 
     for s in range(1, log_n + 1):
         m = 1 << s
         half = m >> 1
-        w = roots[:: n // m] if m < n else roots  # [half, L]
-        xv = x.reshape((-1, m, L))
-        lo = xv[:, :half]
-        hi = xv[:, half:]
-        t = mont.mul(spec, hi, w)
+        w = roots[:, :: n // m] if m < n else roots  # [L, half]
+        xv = x.reshape(shape[:-1] + (n // m, m))
+        lo = xv[..., :half]
+        hi = xv[..., half:]
+        t = mont.mul(spec, hi, mont.expand(w, xv.ndim - 1))
         x = jnp.concatenate(
-            [mont.add(spec, lo, t), mont.sub(spec, lo, t)], axis=1
+            [mont.add(spec, lo, t), mont.sub(spec, lo, t)], axis=-1
         ).reshape(shape)
     return x
+
+
+def fft_stages_major(spec: FieldSpec, x: jnp.ndarray,
+                     roots: jnp.ndarray) -> jnp.ndarray:
+    """DIT butterflies along AXIS 1 of x: uint32[L, n1, B]; x must already
+    be bit-reversed along axis 1.  roots: [L, n1/2].  The batch axis B
+    stays minor throughout, so every temporary is lane-full on TPU.
+
+    On TPU each stage runs as one fused Pallas butterfly kernel over the
+    flattened [L, G*half*B] halves with the twiddle expanded to its
+    period (half*B)."""
+    from .. import config
+
+    L, n1, Bdim = x.shape
+    log_n = n1.bit_length() - 1
+    use_pallas = (
+        config.pallas_enabled()
+        and (n1 * Bdim) // 2 >= config.pallas_min_batch
+    )
+
+    for s in range(1, log_n + 1):
+        m = 1 << s
+        half = m >> 1
+        w = roots[:, :: n1 // m] if m < n1 else roots  # [L, half]
+        xv = x.reshape(L, n1 // m, m, Bdim)
+        lo = xv[:, :, :half]
+        hi = xv[:, :, half:]
+        if use_pallas:
+            from . import mont_pallas
+
+            w_exp = jnp.repeat(w, Bdim, axis=1)  # [L, half*B], period
+            olo, ohi = mont_pallas.butterfly_stage(
+                spec,
+                lo.reshape(L, -1),
+                hi.reshape(L, -1),
+                w_exp,
+            )
+            lo_t = olo.reshape(lo.shape)
+            hi_t = ohi.reshape(hi.shape)
+        else:
+            t = mont.mul(spec, hi, w[:, None, :, None])
+            lo_t = mont.add(spec, lo, t)
+            hi_t = mont.sub(spec, lo, t)
+        x = jnp.concatenate([lo_t, hi_t], axis=2).reshape(L, n1, Bdim)
+    return x
+
+
+def _split_sizes(n: int):
+    """n = n1 * n2 with n1 <= n2, both powers of two."""
+    log_n = n.bit_length() - 1
+    l1 = log_n // 2
+    return 1 << l1, 1 << (log_n - l1)
+
+
+def fft_four_step(spec: FieldSpec, coeffs: jnp.ndarray,
+                  roots: jnp.ndarray) -> jnp.ndarray:
+    """Natural-order forward NTT via the Bailey four-step decomposition.
+
+    coeffs: uint32[L, n]; roots: [L, n/2] powers of the transform root w.
+    X[k1 + n1*k2] = FFT_n2 over i2 of ( w^(k1*i2) * FFT_n1 over i1 )
+    with x laid out as [n1, n2] (i = i1*n2 + i2).
+    """
+    L, n = coeffs.shape
+    n1, n2 = _split_sizes(n)
+    half = n // 2
+
+    x = coeffs.reshape(L, n1, n2)
+
+    # --- step 1: length-n1 FFT down the columns (root w^n2)
+    br1 = jnp.asarray(bit_reverse_indices(n1))
+    x = jnp.take(x, br1, axis=1)
+    x = fft_stages_major(spec, x, roots[:, ::n2][:, : n1 // 2])
+
+    # --- step 2: twiddle by w^(k1*i2); exponents reduced mod n with
+    # w^(j + n/2) = -w^j so the existing [L, n/2] table suffices.
+    k1 = np.arange(n1, dtype=np.int64)[:, None]
+    i2 = np.arange(n2, dtype=np.int64)[None, :]
+    e = (k1 * i2) % n
+    sign_flip = e >= half
+    e_lo = jnp.asarray(np.where(sign_flip, e - half, e).astype(np.int32))
+    tw = jnp.take(roots, e_lo.reshape(-1), axis=1).reshape(L, n1, n2)
+    tw = jnp.where(jnp.asarray(sign_flip), mont.neg(spec, tw), tw)
+    x = mont.mul(spec, x, tw)
+
+    # --- step 3: transpose so the i2-transform runs along a major axis
+    x = jnp.transpose(x, (0, 2, 1))  # [L, n2, n1]
+
+    # --- step 4: length-n2 FFT down the columns (root w^n1)
+    br2 = jnp.asarray(bit_reverse_indices(n2))
+    x = jnp.take(x, br2, axis=1)
+    x = fft_stages_major(spec, x, roots[:, ::n1][:, : n2 // 2])
+
+    # output element [k2, k1] is X[k1 + n1*k2]: flat row-major == natural
+    return x.reshape(L, n)
 
 
 def fft(spec: FieldSpec, coeffs: jnp.ndarray, roots: jnp.ndarray,
         bitrev: jnp.ndarray) -> jnp.ndarray:
     """Forward NTT, natural-order in and out."""
-    x = jnp.take(coeffs, bitrev, axis=-2)
+    n = coeffs.shape[-1]
+    if coeffs.ndim == 2 and n >= _FOUR_STEP_MIN:
+        return fft_four_step(spec, coeffs, roots)
+    x = jnp.take(coeffs, bitrev, axis=-1)
     return fft_stages(spec, x, roots)
 
 

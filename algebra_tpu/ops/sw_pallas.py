@@ -55,10 +55,10 @@ def _double_lm(spec, x1, y1, z1):
 
 def _madd_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, inf2r,
                  xo, yo, zo):
-    """P (Jacobian) += Q (affine); inf2r: uint32[N, 1] nonzero = infinity."""
-    x1, y1, z1 = x1r[...].T, y1r[...].T, z1r[...].T  # [L, N]
-    x2, y2 = x2r[...].T, y2r[...].T
-    inf2 = inf2r[...][:, 0] != 0  # [N]
+    """P (Jacobian) += Q (affine); inf2r: uint32[1, N] nonzero = infinity."""
+    x1, y1, z1 = x1r[...], y1r[...], z1r[...]  # [L, N]
+    x2, y2 = x2r[...], y2r[...]
+    inf2 = inf2r[...][0] != 0  # [N]
 
     Z1Z1 = _lm_mul(spec, z1, z1)
     U2 = _lm_mul(spec, x2, Z1Z1)
@@ -103,15 +103,15 @@ def _madd_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, inf2r,
     Y3 = _sel(p_inf, qy, Y3)
     Z3 = _sel(p_inf, qz, Z3)
 
-    xo[...] = X3.T
-    yo[...] = Y3.T
-    zo[...] = Z3.T
+    xo[...] = X3
+    yo[...] = Y3
+    zo[...] = Z3
 
 
 def _add_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
     """Full Jacobian add (add-2007-bl) with exceptional cases."""
-    x1, y1, z1 = x1r[...].T, y1r[...].T, z1r[...].T
-    x2, y2, z2 = x2r[...].T, y2r[...].T, z2r[...].T
+    x1, y1, z1 = x1r[...], y1r[...], z1r[...]
+    x2, y2, z2 = x2r[...], y2r[...], z2r[...]
 
     Z1Z1 = _lm_mul(spec, z1, z1)
     Z2Z2 = _lm_mul(spec, z2, z2)
@@ -152,9 +152,9 @@ def _add_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
     Y3 = _sel(p_inf, y2, Y3)
     Z3 = _sel(p_inf, z2, Z3)
 
-    xo[...] = X3.T
-    yo[...] = Y3.T
-    zo[...] = Z3.T
+    xo[...] = X3
+    yo[...] = Y3
+    zo[...] = Z3
 
 
 DEFAULT_BLOCK = 128  # ~25 live [L, N] temporaries must fit 16MB VMEM
@@ -167,9 +167,9 @@ def _madd_call(spec: FieldSpec, n: int, block: int):
 
     L = spec.n_limbs
     grid = (n // block,)
-    dspec = pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((n, L), jnp.uint32)
+    dspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((L, n), jnp.uint32)
     return pl.pallas_call(
         functools.partial(_madd_kernel, spec),
         out_shape=(out, out, out),
@@ -186,8 +186,8 @@ def _add_call(spec: FieldSpec, n: int, block: int):
 
     L = spec.n_limbs
     grid = (n // block,)
-    dspec = pl.BlockSpec((block, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((n, L), jnp.uint32)
+    dspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((L, n), jnp.uint32)
     return pl.pallas_call(
         functools.partial(_add_kernel, spec),
         out_shape=(out, out, out),
@@ -198,36 +198,35 @@ def _add_call(spec: FieldSpec, n: int, block: int):
 
 
 def _flatten(spec, arrs, block):
-    L = spec.n_limbs
-    batch = arrs[0].shape[:-1]
+    """Limb-major [K, *batch] arrays -> [K, n_padded] flats."""
+    batch = arrs[0].shape[1:]
     n = int(np.prod(batch)) if batch else 1
     padded = -(-n // block) * block
     flat = []
     for a in arrs:
-        f = a.reshape((n,) + a.shape[len(batch):])
+        f = a.reshape((a.shape[0], n))
         if padded != n:
-            pad = [(0, padded - n)] + [(0, 0)] * (f.ndim - 1)
-            f = jnp.pad(f, pad)
+            f = jnp.pad(f, [(0, 0), (0, padded - n)])
         flat.append(f)
     return flat, batch, n, padded
 
 
 def madd(spec: FieldSpec, P, aff, block: int = DEFAULT_BLOCK):
-    """Fused mixed add; P = (x, y, z) uint32[..., L]; aff = (x2, y2, inf)."""
+    """Fused mixed add; P = (x, y, z) uint32[L, ...]; aff = (x2, y2, inf)."""
     x1, y1, z1 = P
     x2, y2, inf = aff
     x2b = jnp.broadcast_to(x2, x1.shape)
     y2b = jnp.broadcast_to(y2, x1.shape)
-    infb = jnp.broadcast_to(inf, x1.shape[:-1]).astype(jnp.uint32)[..., None]
+    infb = jnp.broadcast_to(inf, x1.shape[1:]).astype(jnp.uint32)[None]
     (fx1, fy1, fz1, fx2, fy2, finf), batch, n, padded = _flatten(
         spec, [x1, y1, z1, x2b, y2b, infb], block
     )
     xo, yo, zo = _madd_call(spec, padded, block)(fx1, fy1, fz1, fx2, fy2, finf)
     L = spec.n_limbs
     return (
-        xo[:n].reshape(batch + (L,)),
-        yo[:n].reshape(batch + (L,)),
-        zo[:n].reshape(batch + (L,)),
+        xo[:, :n].reshape((L,) + batch),
+        yo[:, :n].reshape((L,) + batch),
+        zo[:, :n].reshape((L,) + batch),
     )
 
 
@@ -238,7 +237,7 @@ def add(spec: FieldSpec, P, Q, block: int = DEFAULT_BLOCK):
     xo, yo, zo = _add_call(spec, padded, block)(*flat)
     L = spec.n_limbs
     return (
-        xo[:n].reshape(batch + (L,)),
-        yo[:n].reshape(batch + (L,)),
-        zo[:n].reshape(batch + (L,)),
+        xo[:, :n].reshape((L,) + batch),
+        yo[:, :n].reshape((L,) + batch),
+        zo[:, :n].reshape((L,) + batch),
     )

@@ -119,7 +119,9 @@ class PairingEngine:
 
 
 def field_prod(field, value, axis=0):
-    """Product of a batched field value along one axis (tree reduction)."""
+    """Product of a batched field value along one BATCH axis (tree
+    reduction; leaves are limb-major, so batch axis k = leaf axis k+1)."""
+    axis = axis + 1 if axis >= 0 else axis
     n = jax.tree_util.tree_leaves(value)[0].shape[axis]
     while n > 1:
         half = n // 2

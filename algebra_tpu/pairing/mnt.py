@@ -180,7 +180,10 @@ class MNTEngine:
 
     # ------------------------------------------------------------ final exp
     def final_exponentiation(self, f):
-        """f^((p^2-1) * (w1*p + w0)) (mod.rs:165-212)."""
+        """Easy chunk then f^(w1*p + w0) (mnt4/mod.rs:165-212 and the
+        mnt6 analog).  MNT4 (k=4): easy = q^2 - 1; MNT6 (k=6):
+        easy = (q^3 - 1)(q + 1) — the extra (q+1) Frobenius factor is
+        the one structural difference between the two engines."""
         F4 = self.target
         f_inv = F4.inverse(f)
         first = self._first_chunk(f, f_inv)
@@ -189,8 +192,13 @@ class MNTEngine:
 
     def _first_chunk(self, elt, elt_inv):
         F4 = self.target
-        # elt^(p^2) == cyclotomic conjugate in Fp4
-        return F4.mul(F4.cyclotomic_inverse(elt), elt_inv)
+        # elt^(q^{k/2}) == quadratic conjugate over the coefficient field
+        base = F4.mul(F4.cyclotomic_inverse(elt), elt_inv)
+        from ..fields.cubic import CubicExtField
+
+        if isinstance(self.coeff_field, CubicExtField):  # MNT6
+            base = F4.mul(F4.frobenius(base, 1), base)
+        return base
 
     def _last_chunk(self, elt, elt_inv):
         F4 = self.target

@@ -23,8 +23,9 @@ def default_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
 
 
 def shard_leading(mesh: Mesh, axis: str = "x") -> NamedSharding:
-    """Sharding that splits the leading (batch/element) axis."""
-    return NamedSharding(mesh, PartitionSpec(axis))
+    """Sharding that splits the leading BATCH axis of a limb-major
+    [L, n, ...] array (array axis 1; the limb axis stays replicated)."""
+    return NamedSharding(mesh, PartitionSpec(None, axis))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

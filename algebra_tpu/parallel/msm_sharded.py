@@ -23,11 +23,11 @@ from ..ops import msm as msm_mod
 def sharded_msm(curve, mesh, bases_aff, scalars, c=None, axis: str = "x"):
     """MSM with bases/scalars sharded over the mesh axis.
 
-    bases_aff: (x, y, inf) affine batch [n]; scalars: uint32[n, Ls]
-    canonical limbs.  n must be divisible by the mesh size.  Returns a
-    replicated Jacobian point.
+    bases_aff: (x, y, inf) affine batch [n]; scalars: uint32[Ls, n]
+    canonical limb-major limbs.  n must be divisible by the mesh size.
+    Returns a replicated Jacobian point.
     """
-    n = scalars.shape[0]
+    n = scalars.shape[1]
     D = mesh.shape[axis]
     assert n % D == 0, "point count must divide evenly across devices"
     if c is None:
@@ -35,20 +35,21 @@ def sharded_msm(curve, mesh, bases_aff, scalars, c=None, axis: str = "x"):
 
     def local(x, y, inf, sc):
         part = msm_mod.msm(curve, (x, y, inf), sc, c=c)  # local Jacobian point
-        # gather all partial points (leading axis D) and fold; the scan
-        # fold compiles ONE add body (D is tiny, so sequential is fine)
+        # gather all partial points (batch axis D, after the limb axis)
+        # and fold; the scan fold compiles ONE add body (D is tiny, so
+        # sequential is fine)
         gathered = jax.tree_util.tree_map(
-            lambda a: jax.lax.all_gather(a, axis, axis=0), part
+            lambda a: jax.lax.all_gather(a, axis, axis=1), part
         )
         total = msm_mod.scan_sum(curve, tuple(gathered), axis=0)
         return total
 
     x, y, inf = bases_aff
     spec_in = (
-        _tree_spec(x, P(axis)),
-        _tree_spec(y, P(axis)),
+        _tree_spec(x, P(None, axis)),
+        _tree_spec(y, P(None, axis)),
         P(axis),
-        P(axis),
+        P(None, axis),
     )
     out_spec = (
         _tree_spec(x, P()),

@@ -38,14 +38,14 @@ def _root_table(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:
 
 
 def sharded_fft(spec: FieldSpec, mesh, coeffs, omega: int, axis: str = "x"):
-    """Natural-order forward NTT of uint32[n, L] coeffs sharded over the
-    mesh axis.  omega is the order-n root of unity (host int).
+    """Natural-order forward NTT of limb-major uint32[L, n] coeffs sharded
+    over the mesh axis.  omega is the order-n root of unity (host int).
 
     Returns the evaluations in natural order, sharded over the mesh axis.
     """
     D = mesh.shape[axis]
-    n = coeffs.shape[0]
-    L = coeffs.shape[-1]
+    L = coeffs.shape[0]
+    n = coeffs.shape[1]
     # choose n1 = number of rows = D * rows_per_device; n2 = n / n1.
     # Use n1 as small as possible while divisible by D and keeping
     # n2 <= n1 * something reasonable; simplest: split as square-ish.
@@ -69,46 +69,48 @@ def sharded_fft(spec: FieldSpec, mesh, coeffs, omega: int, axis: str = "x"):
     rows_per = n1 // D
 
     def local(phaseA_block, omega_pows_rows):
-        # phaseA_block: [rows_per, n2, L] rows j1 of this device
+        # phaseA_block: [L, rows_per, n2] rows j1 of this device
         a = ntt.fft(spec, phaseA_block, rootsA, bitrevA)  # NTT along j2
-        # twiddle: w^(j1 * k2) = (w^(j1))^(k2); omega_pows_rows[r] = w^(j1_r)
+        # twiddle: w^(j1 * k2) = (w^(j1))^(k2); omega_pows_rows[:, r] = w^(j1_r)
         tw = ntt.powers_from_device_batch(spec, omega_pows_rows, n2)
         a = mont.mul(spec, a, tw)
         # transpose: to [n1, n2/D] columns of this device
-        b = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=0, tiled=True)
-        o = ntt.fft(spec, jnp.swapaxes(b, 0, 1), rootsB, bitrevB)  # NTT over j1
-        # o: [n2/D, n1, L] = O[k1, k2] for this device's k2 block, k1 axis=1
-        # Want output X[k2 + n2*k1] sharded over leading: each device holds
-        # k2 block -> rearrange to [n1 * n2/D] with index (k1, k2_local)
-        out = jnp.swapaxes(o, 0, 1)  # [n1, n2/D, L]
-        return out.reshape(n1 * (n2 // D), L)
+        b = jax.lax.all_to_all(a, axis, split_axis=2, concat_axis=1, tiled=True)
+        o = ntt.fft(spec, jnp.swapaxes(b, 1, 2), rootsB, bitrevB)  # NTT over j1
+        # o: [L, n2/D, n1] = O[k1, k2] for this device's k2 block, k1 minor
+        # Want output X[k2 + n2*k1] sharded over the batch: rearrange to
+        # [L, n1 * n2/D] with index (k1, k2_local)
+        out = jnp.swapaxes(o, 1, 2)  # [L, n1, n2/D]
+        return out.reshape(L, n1 * (n2 // D))
 
     from jax.experimental.shard_map import shard_map
 
-    mat = coeffs.reshape(n2, n1, L).swapaxes(0, 1)  # [n1, n2, L]
-    # per-row twiddle bases: w^(j1) for each row j1 (host table)
-    row_base = np.zeros((n1, spec.n_limbs), np.uint32)
+    mat = coeffs.reshape(L, n2, n1).swapaxes(1, 2)  # [L, n1, n2]
+    # per-row twiddle bases: w^(j1) for each row j1 (host table) [Ls, n1]
+    from ..bigint import batch_int_to_limbs
+
+    bases = []
     acc = 1
     for j1 in range(n1):
-        row_base[j1] = int_to_limbs(spec.to_mont(acc), spec.n_limbs)
+        bases.append(spec.to_mont(acc))
         acc = (acc * omega) % p
-    row_base = jnp.asarray(row_base)
+    row_base = jnp.asarray(batch_int_to_limbs(bases, spec.n_limbs))
 
     mapped = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
+        in_specs=(P(None, axis), P(None, axis)),
+        out_specs=P(None, axis),
         check_rep=False,
     )
-    out_blocks = mapped(mat, row_base)  # [n1 * n2/D per device] stacked
-    # out_blocks global shape [D * n1 * n2/D = n, L]; device d holds
-    # X entries with k2 in its block: index (k1, k2loc) -> k2 = d*n2/D+k2loc
+    out_blocks = mapped(mat, row_base)  # [L, n1*n2/D per device] stacked
+    # out_blocks global shape [L, D * n1 * n2/D = n]; device d holds
+    # X entries with k2 in its block: index (k1, k2loc) -> k2 = d*k2_per+k2loc
     # Global natural order requires interleaving; produce it with one
     # reshape/transpose (lazy; XLA keeps it sharded until gathered).
     k2_per = n2 // D
-    x = out_blocks.reshape(D, n1, k2_per, L)
-    x = jnp.transpose(x, (1, 0, 2, 3)).reshape(n, L)  # X[k2 + n2*k1]... see note
+    x = out_blocks.reshape(L, D, n1, k2_per)
+    x = jnp.transpose(x, (0, 2, 1, 3)).reshape(L, n)
     # note: index = k1 * n2 + (d * k2_per + k2loc) = natural order
     return x
 
@@ -118,4 +120,4 @@ def sharded_ifft(spec: FieldSpec, mesh, evals, omega: int, size_inv: int, axis="
     p = spec.modulus
     x = sharded_fft(spec, mesh, evals, pow(omega, -1, p), axis=axis)
     n_inv = jnp.asarray(int_to_limbs(spec.to_mont(size_inv), spec.n_limbs))
-    return mont.mul(spec, x, n_inv[None, :])
+    return mont.mul(spec, x, n_inv)

@@ -31,7 +31,7 @@ class DensePolynomial:
     # ------------------------------------------------------------- structure
     @property
     def num_coeffs(self) -> int:
-        return jax.tree_util.tree_leaves(self.coeffs)[0].shape[0]
+        return jax.tree_util.tree_leaves(self.coeffs)[0].shape[1]
 
     def degree(self) -> int:
         """Array degree (len - 1); host-side canonical degree requires
@@ -90,7 +90,7 @@ class DensePolynomial:
             out_slice = F.index(out, slice(i, i + m))
             updated = F.add(out_slice, term)
             out = jax.tree_util.tree_map(
-                lambda o, u: o.at[i : i + m].set(u), out, updated
+                lambda o, u: o.at[:, i : i + m].set(u), out, updated
             )
         return DensePolynomial(F, out)
 
@@ -125,7 +125,7 @@ class DensePolynomial:
         idx_pows = _all_powers(F, x, n)  # [n, ...batch]
         coeffs = F.broadcast_to(
             jax.tree_util.tree_map(
-                lambda c: c.reshape((n,) + (1,) * len(shape) + c.shape[1:]),
+                lambda c: c.reshape(c.shape[:2] + (1,) * len(shape)),
                 self.coeffs,
             )
             if shape
@@ -154,7 +154,7 @@ class DensePolynomial:
             rem_slice = F.index(rem, slice(k, k + m))
             updated = F.sub(rem_slice, sub_term)
             rem = jax.tree_util.tree_map(
-                lambda r, u: r.at[k : k + m].set(u), rem, updated
+                lambda r, u: r.at[:, k : k + m].set(u), rem, updated
             )
         q = F.stack(list(reversed(q_parts)), axis=0)
         r = F.index(rem, slice(0, m - 1)) if m > 1 else F.zero((1,))
@@ -232,7 +232,7 @@ def _all_powers(field: Field, x, n: int):
     factor = x
     k = 1
     while k < n:
-        w = jax.tree_util.tree_leaves(table)[0].shape[0]
+        w = jax.tree_util.tree_leaves(table)[0].shape[1]
         fac_b = field.broadcast_to(factor, (w,) + shape)
         nxt = field.mul(table, fac_b)
         table = field.concatenate([table, nxt], axis=0)

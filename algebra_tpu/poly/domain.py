@@ -78,12 +78,12 @@ class Radix2EvaluationDomain:
 
     # ------------------------------------------------------------------- fft
     def _pad(self, coeffs: jnp.ndarray) -> jnp.ndarray:
-        n = coeffs.shape[-2]
+        n = coeffs.shape[-1]
         if n > self.size:
             raise ValueError(f"input length {n} exceeds domain size {self.size}")
         if n < self.size:
             pad = [(0, 0)] * coeffs.ndim
-            pad[-2] = (0, self.size - n)
+            pad[-1] = (0, self.size - n)
             coeffs = jnp.pad(coeffs, pad)
         return coeffs
 
@@ -106,7 +106,7 @@ class Radix2EvaluationDomain:
 
     def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
         """Interpolate evaluations over the domain back to coefficients."""
-        if evals.shape[-2] != self.size:
+        if evals.shape[-1] != self.size:
             raise ValueError("ifft input must have domain size")
         _, roots_inv = self._root_tables()
         return self._ifft_impl(evals, roots_inv, self._bitrev)
@@ -129,12 +129,10 @@ class Radix2EvaluationDomain:
         )
 
     def elements(self) -> jnp.ndarray:
-        """[size, L] device table of all domain elements (Montgomery)."""
+        """[L, size] device table of all domain elements (Montgomery)."""
         table = ntt.powers_from_int(self.spec, self.group_gen, self.size)
         if self.offset != 1:
-            table = mont.mul(
-                self.spec, table, self.field.constant(self.offset)[None]
-            )
+            table = mont.mul(self.spec, table, self.field.constant(self.offset))
         return table
 
     # --------------------------------------------------- vanishing polynomial
@@ -155,7 +153,7 @@ class Radix2EvaluationDomain:
     # ------------------------------------------------- Lagrange coefficients
     @jit_method
     def evaluate_all_lagrange_coefficients(self, tau: jnp.ndarray) -> jnp.ndarray:
-        """[size, L] of L_i(tau) for one point tau (limb vector, shape [L]).
+        """[L, size] of L_i(tau) for one point tau (limb vector, shape [L]).
 
         O(n) with one batched inversion, handling tau inside the domain
         exactly (one-hot output), mirroring
@@ -164,7 +162,7 @@ class Radix2EvaluationDomain:
         spec, F = self.spec, self.field
         n = self.size
         elements = self.elements()  # h * g^i
-        tau_b = jnp.broadcast_to(tau, elements.shape)
+        tau_b = jnp.broadcast_to(tau[:, None], elements.shape)
         u = mont.sub(spec, tau_b, elements)  # tau - h g^i
         in_domain = mont.is_zero(spec, u)  # one-hot if tau in domain
         any_in = jnp.any(in_domain)
@@ -175,7 +173,7 @@ class Radix2EvaluationDomain:
         c = (self.size_inv * pow(self.offset_inv, n - 1, spec.modulus)) % spec.modulus
         scale = mont.mul(spec, z_tau, F.constant(c))  # scalar [L]
         g_pows = ntt.powers_from_int(spec, self.group_gen, n)
-        li = mont.mul(spec, mont.mul(spec, g_pows, scale[None]), u_inv)
+        li = mont.mul(spec, mont.mul(spec, g_pows, scale), u_inv)
 
         one_hot = mont.select(in_domain, F.one((n,)), F.zero((n,)))
         return mont.select(

@@ -21,24 +21,21 @@ from ..ops.ntt import bit_reverse_indices
 
 
 def _point_take(curve, P, idx):
-    return tuple(jax.tree_util.tree_map(lambda a: a[..., idx, :], c) for c in P)
+    return tuple(jax.tree_util.tree_map(lambda a: a[:, idx], c) for c in P)
 
 
 def group_fft(curve, domain, points):
     """Forward FFT of a point batch over the domain (natural order).
 
-    points: Jacobian point tuple with the coefficient axis leading
-    ([n, L] leaves for prime-base curves).  Returns evaluations
+    points: Jacobian point tuple with the coefficient axis as the batch
+    ([L, n] leaves for prime-base curves).  Returns evaluations
     sum_j omega^(ij) * P_j.
     """
     spec = domain.spec
     n = domain.size
     p_mod = spec.modulus
     bitrev = jnp.asarray(bit_reverse_indices(n))
-    P = tuple(
-        jax.tree_util.tree_map(lambda a: jnp.take(a, bitrev, axis=0), c)
-        for c in points
-    )
+    P = _point_take(curve, points, bitrev)
     log_n = n.bit_length() - 1
     for s in range(1, log_n + 1):
         m = 1 << s
@@ -46,24 +43,28 @@ def group_fft(curve, domain, points):
         # twiddle scalars for this stage (host ints)
         w = pow(domain.group_gen, n // m, p_mod)
         scalars = [pow(w, j, p_mod) for j in range(half)]
-        sc = jnp.asarray(batch_int_to_limbs(scalars, spec.n_limbs))  # [half, Ls]
+        sc = jnp.asarray(batch_int_to_limbs(scalars, spec.n_limbs))  # [Ls, half]
         view = tuple(
             jax.tree_util.tree_map(
-                lambda a: a.reshape((n // m, m) + a.shape[1:]), c
+                lambda a: a.reshape(a.shape[:1] + (n // m, m)), c
             )
             for c in P
         )
-        lo = tuple(jax.tree_util.tree_map(lambda a: a[:, :half], c) for c in view)
-        hi = tuple(jax.tree_util.tree_map(lambda a: a[:, half:], c) for c in view)
+        lo = tuple(
+            jax.tree_util.tree_map(lambda a: a[:, :, :half], c) for c in view
+        )
+        hi = tuple(
+            jax.tree_util.tree_map(lambda a: a[:, :, half:], c) for c in view
+        )
         # t = scalar * hi, with per-position scalars broadcast over groups
-        sc_b = jnp.broadcast_to(sc, (n // m,) + sc.shape)
+        sc_b = jnp.broadcast_to(sc[:, None, :], sc.shape[:1] + (n // m, half))
         t = curve.scalar_mul(hi, sc_b)
         add = curve.add(lo, t)
         sub = curve.add(lo, curve.neg(t))
         P = tuple(
             jax.tree_util.tree_map(
-                lambda a, b: jnp.concatenate([a, b], axis=1).reshape(
-                    (n,) + a.shape[2:]
+                lambda a, b: jnp.concatenate([a, b], axis=2).reshape(
+                    a.shape[:1] + (n,)
                 ),
                 ca,
                 cb,
@@ -83,9 +84,7 @@ def group_ifft(curve, domain, points):
         group_gen = domain.group_gen_inv
 
     out = group_fft(curve, _InvDomain, points)
-    n_inv = jnp.asarray(
-        batch_int_to_limbs([domain.size_inv], spec.n_limbs)
-    )[0]
+    n_inv = jnp.asarray(batch_int_to_limbs([domain.size_inv], spec.n_limbs))
     n = domain.size
-    sc = jnp.broadcast_to(n_inv, (n,) + n_inv.shape)
+    sc = jnp.broadcast_to(n_inv, (n_inv.shape[0], n))
     return curve.scalar_mul(out, sc)

@@ -61,12 +61,12 @@ class MixedRadixEvaluationDomain:
 
     # ------------------------------------------------------------------ fft
     def _pad(self, coeffs):
-        n = jax.tree_util.tree_leaves(coeffs)[0].shape[-2]
+        n = jax.tree_util.tree_leaves(coeffs)[0].shape[-1]
         if n > self.size:
             raise ValueError("input longer than domain")
         if n < self.size:
             pad = [(0, 0)] * coeffs.ndim
-            pad[-2] = (0, self.size - n)
+            pad[-1] = (0, self.size - n)
             coeffs = jnp.pad(coeffs, pad)
         return coeffs
 
@@ -83,7 +83,7 @@ class MixedRadixEvaluationDomain:
         return _mixed_fft(spec, coeffs, self.size, self.group_gen)
 
     def ifft(self, evals):
-        if jax.tree_util.tree_leaves(evals)[0].shape[-2] != self.size:
+        if jax.tree_util.tree_leaves(evals)[0].shape[-1] != self.size:
             raise ValueError("ifft input must have domain size")
         return self._ifft_impl(evals)
 
@@ -107,9 +107,7 @@ class MixedRadixEvaluationDomain:
     def elements(self):
         table = _power_table(self.spec, self.group_gen, self.size)
         if self.offset != 1:
-            table = mont.mul(
-                self.spec, table, self.field.constant(self.offset)[None]
-            )
+            table = mont.mul(self.spec, table, self.field.constant(self.offset))
         return table
 
     def evaluate_vanishing_polynomial(self, tau):
@@ -125,7 +123,7 @@ class MixedRadixEvaluationDomain:
 
 
 def _power_table(spec, base: int, n: int) -> jnp.ndarray:
-    """[n, L] Montgomery powers base^0..base^{n-1}, built host-side."""
+    """[L, n] Montgomery powers base^0..base^{n-1}, built host-side."""
     p = spec.modulus
     vals = []
     acc = 1
@@ -136,7 +134,7 @@ def _power_table(spec, base: int, n: int) -> jnp.ndarray:
 
 
 def _mixed_fft(spec, x, n: int, omega: int):
-    """Recursive mixed-radix DIT over the -2 axis (natural in/out order)."""
+    """Recursive mixed-radix DIT over the -1 axis (natural in/out order)."""
     if n == 1:
         return x
     q = spec.small_subgroup_base or 2
@@ -147,7 +145,7 @@ def _mixed_fft(spec, x, n: int, omega: int):
     sub_omega = pow(omega, r, p)
 
     subs = [
-        _mixed_fft(spec, x[..., t::r, :], m, sub_omega) for t in range(r)
+        _mixed_fft(spec, x[..., t::r], m, sub_omega) for t in range(r)
     ]
     # twiddle: T_t[k] = omega^{t k} * S_t[k]
     twiddled = [subs[0]]
@@ -163,4 +161,4 @@ def _mixed_fft(spec, x, n: int, omega: int):
             w = jnp.asarray(int_to_limbs(spec.to_mont(w_int), spec.n_limbs))
             acc = mont.add(spec, acc, mont.mul(spec, twiddled[t], w))
         parts.append(acc)
-    return jnp.concatenate(parts, axis=-2)
+    return jnp.concatenate(parts, axis=-1)

@@ -27,7 +27,7 @@ class DenseMultilinearExtension:
     def __init__(self, field: Field, num_vars: int, evals):
         self.field = field
         self.num_vars = num_vars
-        self.evals = evals  # leading axis 2^num_vars
+        self.evals = evals  # batch axis 2^num_vars
 
     @classmethod
     def from_ints(cls, field: Field, num_vars: int, evals):
@@ -68,10 +68,10 @@ class DenseMultilinearExtension:
             n = 1 << nv
             # pairs (evals[2i], evals[2i+1]): reshape to [n/2, 2]
             pairs = jax.tree_util.tree_map(
-                lambda a: a.reshape((n // 2, 2) + a.shape[1:]), evals
+                lambda a: a.reshape(a.shape[:1] + (n // 2, 2)), evals
             )
-            lo = jax.tree_util.tree_map(lambda a: a[:, 0], pairs)
-            hi = jax.tree_util.tree_map(lambda a: a[:, 1], pairs)
+            lo = jax.tree_util.tree_map(lambda a: a[:, :, 0], pairs)
+            hi = jax.tree_util.tree_map(lambda a: a[:, :, 1], pairs)
             diff = F.sub(hi, lo)
             xb = F.broadcast_to(x, (n // 2,))
             evals = F.add(lo, F.mul(diff, xb))
@@ -129,7 +129,7 @@ class SparseMultilinearExtension:
         dense = F.zero((n,))
         # indices are unique (hashmap-backed in the reference), so set().
         dense = jax.tree_util.tree_map(
-            lambda d, v: d.at[self.indices].set(v), dense, self.values
+            lambda d, v: d.at[:, self.indices].set(v), dense, self.values
         )
         return DenseMultilinearExtension(F, self.num_vars, dense)
 

@@ -66,7 +66,7 @@ class SparsePolynomial:
         """Evaluations over a domain: c_i * (elements^{d_i}) summed —
         each power of the element table via the domain generator."""
         F = self.field
-        elements = domain.elements()  # [n, L] Montgomery
+        elements = domain.elements()  # [L, n] Montgomery
         n = domain.size
         acc = F.zero((n,))
         for i, d in enumerate(self.degrees):
@@ -139,7 +139,7 @@ class SparsePolynomial:
         out = F.zero((n,))
         for i, d in enumerate(self.degrees):
             c = F.index(self.coeffs, i)
-            out = jax.tree_util.tree_map(lambda o, v: o.at[d].set(v), out, c)
+            out = jax.tree_util.tree_map(lambda o, v: o.at[:, d].set(v), out, c)
         return DensePolynomial(F, out)
 
     def to_pairs(self):

@@ -65,7 +65,7 @@ def main():
         out = chain(out, b)
     # sync via a tiny dependent fetch (64B) so tunnel transfer time of the
     # full array doesn't pollute the measurement
-    checksum = int(np.asarray(jax.device_get(out[0])).sum())
+    checksum = int(np.asarray(jax.device_get(out[:, 0])).sum())
     dt = time.perf_counter() - t0
 
     mults_per_s = n * reps * iters / dt

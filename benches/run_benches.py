@@ -133,9 +133,10 @@ def bench_msm(log_sizes=(16, 18, 20), curve_name="g1"):
     host_pts = curve.random_host(hrng, 256)
     aff256 = curve.from_host(host_pts)
     reps = max_n // 256
+    # limb-major coords: tile the batch axis (leaf axis 1)
     aff = (
-        jax.tree_util.tree_map(lambda a: jnp.tile(a, (reps,) + (1,) * (a.ndim - 1)), aff256[0]),
-        jax.tree_util.tree_map(lambda a: jnp.tile(a, (reps,) + (1,) * (a.ndim - 1)), aff256[1]),
+        jax.tree_util.tree_map(lambda a: jnp.tile(a, (1, reps)), aff256[0]),
+        jax.tree_util.tree_map(lambda a: jnp.tile(a, (1, reps)), aff256[1]),
         jnp.tile(aff256[2], (reps,)),
     )
 
@@ -148,7 +149,7 @@ def bench_msm(log_sizes=(16, 18, 20), curve_name="g1"):
         n = 1 << log_n
         bases_n = (curve.base.index(aff[0], slice(0, n)),
                    curve.base.index(aff[1], slice(0, n)), aff[2][:n])
-        sc_n = scalars[:n]
+        sc_n = scalars[:, :n]
         f = jax.jit(lambda b, s: msm_mod.msm(curve, b, s))
 
         def run():

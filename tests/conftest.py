@@ -60,19 +60,29 @@ if not _NEEDS_REEXEC:
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # Pin the ISA so cached XLA:CPU executables reload identically across
+    # runs: un-pinned, cache keys/feature checks drift with detected CPU
+    # features (historically SIGILL'd on reload; measured 5x slower cache
+    # hits even when it survives).  Compile time dominates this suite, so
+    # AVX2-only codegen is a non-issue.
+    if "xla_cpu_max_isa" not in flags:
+        flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+    os.environ["XLA_FLAGS"] = flags
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     import jax  # noqa: E402,F401
 
-    # NOTE: the persistent compilation cache is intentionally NOT enabled
-    # for the CPU test backend: reloading cached XLA:CPU AOT executables on
-    # this machine trips a machine-feature mismatch (prefer-no-gather/
-    # -scatter) and can SIGILL/segfault the process (observed as suite
-    # crashes).
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache",
+        "xla_cpu",
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 import random  # noqa: E402
 

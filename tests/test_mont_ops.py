@@ -113,8 +113,8 @@ def test_field_laws(name, rng):
     lhs = mul_j(spec, a, add_j(spec, b, c))
     rhs = add_j(spec, mul_j(spec, a, b), mul_j(spec, a, c))
     assert np.array_equal(lhs, rhs)
-    # identities
-    one = np.broadcast_to(spec.one_mont_limbs, a.shape)
+    # identities (limb-major: broadcast the [L] constant over the batch)
+    one = np.broadcast_to(np.asarray(spec.one_mont_limbs)[:, None], a.shape)
     zero = np.zeros_like(a)
     assert np.array_equal(mul_j(spec, a, one), a)
     assert np.array_equal(add_j(spec, a, zero), a)

@@ -28,7 +28,8 @@ def ctx():
 
 
 def _index(field, value, i):
-    return jax.tree_util.tree_map(lambda a: a[i], value)
+    # limb-major leaves: [L, batch] — index the trailing BATCH axis
+    return jax.tree_util.tree_map(lambda a: a[..., i], value)
 
 
 def test_bilinearity(ctx, rng):

@@ -108,7 +108,7 @@ def test_sharded_ntt_8dev_bit_exact_vs_local(ntt_inputs):
         for c in coeffs_int:
             want = (want + c * acc) % p
             acc = (acc * wk) % p
-        assert fr.from_mont(limbs_to_int(out_host[k])) == want
+        assert fr.from_mont(limbs_to_int(out_host[:, k])) == want
 
 
 def test_sharded_intt_roundtrip(ntt_inputs):
