@@ -64,6 +64,17 @@ FQ2_NONRESIDUE = P - 1  # -1
 host_fq2 = HostQuadExt(host_fq, FQ2_NONRESIDUE)
 FQ6_NONRESIDUE = (1, 1)  # u + 1
 
+# Endomorphism constants for the fast subgroup checks, derived on host.
+# G1_BETA: the nontrivial cube root of unity in Fq whose GLV eigenvalue on
+# the r-subgroup is -X^2 (the 2^((p-1)/3) branch; pinned by the
+# sigma(P) == -[X^2]P identity, verified in tests/test_subgroup_checks.py).
+G1_BETA = pow(2, (P - 1) // 3, P)
+# G2 psi (untwist-Frobenius-twist) coefficients: (u+1)^(-(p-1)/3) and
+# (u+1)^(-(p-1)/2) — match the reference's published
+# P_POWER_ENDOMORPHISM_COEFF_{0,1} (test-curves/src/bls12_381/g2.rs:104-125).
+G2_PSI_X = host_fq2.inv(host_fq2.pow(FQ6_NONRESIDUE, (P - 1) // 3))
+G2_PSI_Y = host_fq2.inv(host_fq2.pow(FQ6_NONRESIDUE, (P - 1) // 2))
+
 
 def _mul_fq_by_neg1(base, x):
     """Fast nonresidue multiply for Fq2: nr == -1 (fq2.rs:13)."""
@@ -131,6 +142,27 @@ def g1() -> SWCurve:
         return c.mul_int(P_, G1_H_EFF)
 
     c.clear_cofactor = clear_cofactor
+
+    # Fast subgroup check via the GLV endomorphism sigma(x, y) = (BETA*x, y):
+    # P is in the r-subgroup iff sigma(P) == -[X^2]P (eprint 2021/1130 §6;
+    # BETA is the cube root of unity whose subgroup eigenvalue is -X^2 mod r,
+    # pinned by construction below).  Two 64-bit scalar muls instead of one
+    # 255-bit mul-by-r (the reference's default short_weierstrass/mod.rs:50).
+    def check_host(curve, pt):
+        sigma = (G1_BETA * pt[0] % P, pt[1])
+        x2p = curve.host_mul_raw(curve.host_mul_raw(pt, X_ABS), X_ABS)
+        if x2p is None:
+            return False
+        return sigma == (x2p[0], (P - x2p[1]) % P)
+
+    def check_device(curve, Pt):
+        beta = Fq.constant(G1_BETA, Fq.batch_shape(Pt[0]))
+        sigma = (Fq.mul(beta, Pt[0]), Pt[1], Pt[2])
+        x2p = curve.mul_int(curve.mul_int(Pt, X_ABS), X_ABS)
+        return curve.equal(sigma, curve.neg(x2p))
+
+    c.subgroup_check_host = check_host
+    c.subgroup_check_device = check_device
     return c
 
 
@@ -145,7 +177,7 @@ def pairing():
 @functools.cache
 def g2() -> SWCurve:
     F2 = fq2()
-    return SWCurve(
+    c = SWCurve(
         F2,
         a_host=(0, 0),
         b_host=(4, 4),  # 4 * (u + 1)
@@ -157,3 +189,40 @@ def g2() -> SWCurve:
         scalar_modulus=R,
         name="bls12_381.G2",
     )
+
+    # Fast subgroup check via the p-power endomorphism psi (untwist-
+    # Frobenius-twist): Q is in the r-subgroup iff psi(Q) == [x]Q
+    # (eprint 2021/1130 §4; reference g2.rs:61-74).  psi(x, y) =
+    # (frob(x) * PSI_X, frob(y) * PSI_Y) with PSI_X = (u+1)^(-(p-1)/3),
+    # PSI_Y = (u+1)^(-(p-1)/2), derived on the host below.
+    def psi_host(pt):
+        def frob(v):
+            return (v[0], (P - v[1]) % P)
+
+        return (
+            host_fq2.mul(frob(pt[0]), G2_PSI_X),
+            host_fq2.mul(frob(pt[1]), G2_PSI_Y),
+        )
+
+    def check_host(curve, pt):
+        xq = curve.host_mul_raw(pt, X_ABS)
+        if xq is None:
+            return False
+        return psi_host(pt) == (xq[0], host_fq2.neg(xq[1]))  # x negative
+
+    def check_device(curve, Qt):
+        # psi acts on affine coordinates (Jacobian z would need its own
+        # Frobenius); normalize first.
+        ax, ay, inf = curve.to_affine(Qt)
+        shape = F2.base.batch_shape(ax[0])
+        psi_aff = (
+            F2.mul(F2.frobenius(ax, 1), F2.constant(G2_PSI_X, shape)),
+            F2.mul(F2.frobenius(ay, 1), F2.constant(G2_PSI_Y, shape)),
+            inf,
+        )
+        xq = curve.mul_int(curve.from_affine((ax, ay, inf)), X_ABS)
+        return curve.equal(curve.from_affine(psi_aff), curve.neg(xq))
+
+    c.subgroup_check_host = check_host
+    c.subgroup_check_device = check_device
+    return c

@@ -25,13 +25,28 @@ def field_to_base_prime_elements(value):
 
 
 def sw_affine_to_field_elements(pt, base_arity: int = 1):
-    """SW affine point -> [x coords..., y coords...] with infinity mapping
-    to zeros (to_field_vec.rs SW impl)."""
+    """SW affine point -> [x coords..., y coords..., infinity-bool]
+    (short_weierstrass/affine.rs:382-395: x || y || infinity, with the
+    identity represented as (0, 0, true))."""
     if pt is None:
         zero = 0 if base_arity == 1 else tuple([0] * base_arity)
-        return field_to_base_prime_elements(zero) * 2
+        return field_to_base_prime_elements(zero) * 2 + [1]
+    x, y = pt
+    return (
+        field_to_base_prime_elements(x) + field_to_base_prime_elements(y) + [0]
+    )
+
+
+def te_affine_to_field_elements(pt):
+    """TE affine point -> [x coords..., y coords...]
+    (twisted_edwards/affine.rs:339-350; identity = (0, 1))."""
     x, y = pt
     return field_to_base_prime_elements(x) + field_to_base_prime_elements(y)
+
+
+def bool_to_field_elements(b: bool):
+    """bool -> [1] or [0] (to_field_vec.rs bool impl)."""
+    return [1 if b else 0]
 
 
 def bytes_to_field_elements(data: bytes, modulus: int):
