@@ -99,6 +99,34 @@ class FpCodec:
         v, _, _ = self.deserialize_with_flags(data, 0, validate)
         return v
 
+    def from_random_bytes_with_flags(self, data: bytes, flag_bits: int = 0):
+        """Parse hash/RNG output into (element, flags) or None
+        (fp/mod.rs:246-288): copy up to 8*N64+1 bytes, extract the flag
+        byte at ``buffer_byte_size(MODULUS_BIT_SIZE + flag_bits) - 1``,
+        mask the last u64 limb above MODULUS_BIT_SIZE, and accept iff the
+        remaining value is canonical."""
+        if flag_bits > 8:
+            return None
+        n64 = self.spec.n_limbs // 4  # 16-bit limbs -> u64 limb count
+        buf = bytearray(8 * n64 + 1)
+        take = min(len(data), len(buf))
+        buf[:take] = data[:take]
+        flags = 0
+        if flag_bits:
+            flag_location = self.serialized_size(flag_bits) - 1
+            flags_mask = (0xFF << (8 - flag_bits)) & 0xFF
+            flags = buf[flag_location] & flags_mask
+        # mask the last limb above the modulus bit size
+        shave_bits = 64 * n64 - self.spec.modulus_bit_size
+        last_limb_mask = ((1 << 64) - 1) >> shave_bits if shave_bits < 64 else 0
+        mask9 = last_limb_mask.to_bytes(8, "little") + b"\x00"
+        for i in range(9):
+            buf[8 * (n64 - 1) + i] &= mask9[i]
+        value = int.from_bytes(bytes(buf[: 8 * n64]), "little")
+        if value >= self.spec.modulus:
+            return None
+        return value, flags
+
     # ordering / sign (fp/mod.rs:372)
     def cmp(self, a: int, b: int) -> int:
         return (a > b) - (a < b)
@@ -256,9 +284,39 @@ class SWPointCodec:
             if flags & SW_POINT_AT_INFINITY:
                 return None
             pt = (x, y)
-        if validate and not self._host_on_curve(pt):
-            raise SerializationError("point not on curve")
+        if validate:
+            if not self._host_on_curve(pt):
+                raise SerializationError("point not on curve")
+            # Validate::Yes also rejects on-curve points outside the
+            # prime-order subgroup (short_weierstrass/affine.rs:363-369)
+            if not self.curve.host_is_in_correct_subgroup(pt):
+                raise SerializationError("point not in the prime-order subgroup")
         return pt
+
+    def from_random_bytes(self, data: bytes):
+        """Hash/RNG bytes -> (ok, affine point | None-for-identity)
+        (short_weierstrass/affine.rs:225-238): parse (x, SWFlags); zero x
+        with the infinity flag is the identity; otherwise recover y from
+        x with the flagged sign.  No subgroup check (as in the
+        reference — callers clear cofactors)."""
+        if not isinstance(self.base_codec, FpCodec):
+            raise SerializationError("from_random_bytes needs a prime base")
+        parsed = self.base_codec.from_random_bytes_with_flags(
+            data, SW_FLAG_BITS
+        )
+        if parsed is None:
+            return False, None
+        x, flags = parsed
+        if x == 0 and flags == SW_POINT_AT_INFINITY:
+            return True, None  # the identity
+        if flags & SW_POINT_AT_INFINITY:
+            return False, None
+        try:
+            y_pos, y_neg = self._ys_from_x(x)
+        except SerializationError:
+            return False, None
+        y = y_neg if flags & SW_Y_IS_NEGATIVE else y_pos
+        return True, (x, y)
 
     def _host_on_curve(self, pt) -> bool:
         from .curves.sw import _host_field_of
@@ -338,8 +396,11 @@ class TEPointCodec:
             x = self.base_codec.deserialize(data[:n], validate)
             y = self.base_codec.deserialize(data[n : 2 * n], validate)
             pt = (x, y)
-        if validate and not self._host_on_curve(pt):
-            raise SerializationError("point not on curve")
+        if validate:
+            if not self._host_on_curve(pt):
+                raise SerializationError("point not on curve")
+            if not self.curve.host_is_in_correct_subgroup(pt):
+                raise SerializationError("point not in the prime-order subgroup")
         return pt
 
     def _host_on_curve(self, pt) -> bool:
@@ -436,3 +497,113 @@ def serialize_bigint(value: int, n_u64_limbs: int) -> bytes:
 
 def deserialize_bigint(data: bytes, n_u64_limbs: int) -> int:
     return int.from_bytes(data[: 8 * n_u64_limbs], "little")
+
+
+def serialize_string(s: str) -> bytes:
+    """String = UTF-8 bytes as Vec<u8> (impls.rs String impl)."""
+    raw = s.encode("utf-8")
+    return serialize_u64(len(raw)) + raw
+
+
+def deserialize_string(data: bytes):
+    n = int.from_bytes(data[:8], "little")
+    return data[8 : 8 + n].decode("utf-8"), 8 + n
+
+
+def serialize_tuple(values, item_serializers) -> bytes:
+    """Tuples serialize element-wise with no prefix (impls.rs tuple impls)."""
+    return b"".join(s(v) for s, v in zip(item_serializers, values))
+
+
+def serialize_map(mapping, key_serializer, value_serializer) -> bytes:
+    """BTreeMap = u64 len + sorted (key, value) pairs (impls.rs BTreeMap).
+
+    Iteration must be in ascending key order to match the reference's
+    BTreeMap ordering; callers pass keys with a total order."""
+    items = sorted(mapping.items())
+    out = serialize_u64(len(items))
+    for k, v in items:
+        out += key_serializer(k) + value_serializer(v)
+    return out
+
+
+def deserialize_map(data: bytes, key_deserializer, value_deserializer):
+    n = int.from_bytes(data[:8], "little")
+    off = 8
+    out = {}
+    for _ in range(n):
+        k, used = key_deserializer(data[off:])
+        off += used
+        v, used = value_deserializer(data[off:])
+        off += used
+        out[k] = v
+    return out, off
+
+
+def serialize_set(items, item_serializer) -> bytes:
+    """BTreeSet = u64 len + sorted items (impls.rs BTreeSet)."""
+    items = sorted(items)
+    out = serialize_u64(len(items))
+    for it in items:
+        out += item_serializer(it)
+    return out
+
+
+# ------------------------------------------------------------ hash-of-encoding
+# (CanonicalSerializeHashExt, serialize/src/lib.rs:175-211: hash the
+# canonical encoding of a value through any Digest)
+
+
+def hash_of_encoding(serialized: bytes, digest="sha256") -> bytes:
+    """Hash an already-serialized canonical encoding (HashMarshaller)."""
+    import hashlib
+
+    return hashlib.new(digest, serialized).digest()
+
+
+def hash_compressed(codec, value, digest="sha256") -> bytes:
+    """CanonicalSerializeHashExt::hash — digest of the compressed
+    canonical encoding (serialize/src/lib.rs:183-192)."""
+    data = (
+        codec.serialize(value, compress=True)
+        if isinstance(codec, (SWPointCodec, TEPointCodec))
+        else codec.serialize(value)
+    )
+    return hash_of_encoding(data, digest)
+
+
+def hash_uncompressed(codec, value, digest="sha256") -> bytes:
+    """CanonicalSerializeHashExt::hash_uncompressed
+    (serialize/src/lib.rs:194-203)."""
+    data = (
+        codec.serialize(value, compress=False)
+        if isinstance(codec, (SWPointCodec, TEPointCodec))
+        else codec.serialize(value)
+    )
+    return hash_of_encoding(data, digest)
+
+
+# ---------------------------------------------------------------- batch_check
+# (Valid::batch_check, serialize/src/lib.rs:50-63 — rayon there; ONE
+# batched device program here)
+
+
+def sw_batch_check(curve, points) -> bool:
+    """Validate many deserialized SW host points in one device program:
+    batched on-curve + subgroup membership (fast endomorphism check when
+    the instance installs one).  Raises SerializationError listing the
+    first failing index, mirroring batch_check's all-or-nothing result."""
+    import jax
+    import numpy as np
+
+    finite = [pt for pt in points if pt is not None]
+    if not finite:
+        return True
+    aff = curve.from_host(finite)
+    on = jax.device_get(curve.is_on_curve(aff))
+    sub = jax.device_get(curve.is_in_correct_subgroup(curve.from_affine(aff)))
+    ok = np.logical_and(np.asarray(on), np.asarray(sub))
+    if not bool(ok.all()):
+        bad = int(np.argmin(ok))
+        raise SerializationError(f"batch_check: point {bad} invalid")
+    return True
