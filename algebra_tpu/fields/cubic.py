@@ -70,9 +70,13 @@ class CubicExtField(Field):
         return tuple(self.base.neg(x) for x in a)
 
     def mul(self, a, b):
-        # Karatsuba CH-SQR3-style 6-multiplication formula
-        # (cubic_extension.rs Mul impl), with all six independent base
-        # products stacked into ONE base-mul call (see quadratic.py mul).
+        # One fused prime-field kernel via the bilinear-form compiler
+        # (fields/dot.py); stacked Karatsuba CH-SQR3 fallback.
+        from . import dot as dot_mod
+
+        out = dot_mod.dot(self, [(1, a, b)])
+        if out is not None:
+            return out
         B = self.base
         a0, a1, a2 = a
         b0, b1, b2 = b
@@ -90,6 +94,11 @@ class CubicExtField(Field):
         return (c0, c1, c2)
 
     def square(self, a):
+        from . import dot as dot_mod
+
+        out = dot_mod.dot(self, [(1, a, a)])
+        if out is not None:
+            return out
         # CH-SQR2 squaring (cubic_extension.rs square_in_place), products
         # stacked into one base-mul call.
         B = self.base

@@ -61,6 +61,38 @@ class Field:
     def order(self) -> int:
         return self.characteristic() ** self.extension_degree()
 
+    def prime_kind(self):
+        """The PrimeField kind at the bottom of the tower."""
+        k = self
+        while hasattr(k, "base"):
+            k = k.base
+        return k
+
+    def dot(self, terms):
+        """sum of s * (a * b) over terms = [(s:int, a, b[, a_mask, b_mask])],
+        fused into one prime-field kernel when the tower has an integer
+        multiplication tensor (see fields/dot.py); falls back to the
+        generic mul/add path otherwise."""
+        from . import dot as dot_mod
+
+        out = dot_mod.dot(self, terms)
+        if out is not None:
+            return out
+        acc = None
+        for term in terms:
+            s, a, b = term[0], term[1], term[2]
+            if s == 0:
+                continue
+            t0 = self.mul(a, b)
+            if s < 0:
+                t0 = self.neg(t0)
+                s = -s
+            t = t0
+            for _ in range(s - 1):  # small scales; fallback kinds only
+                t = self.add(t, t0)
+            acc = t if acc is None else self.add(acc, t)
+        return acc
+
     # --- arithmetic --------------------------------------------------------
     def add(self, a, b):
         raise NotImplementedError

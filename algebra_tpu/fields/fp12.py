@@ -16,9 +16,9 @@ class Fp12Field(QuadExtField):
     """base must be a CubicExtField over a QuadExtField (Fp6 over Fp2)."""
 
     def __init__(self, fp6: CubicExtField, frobenius_coeffs_c1_host, name="Fp12"):
-        # nonresidue is v (the cubic generator): (0, 1, 0) in Fp6
+        # nonresidue is v (the cubic generator): (0, 1, 0) in Fp6-over-Fp2
         fp2 = fp6.base
-        nr_host = None  # never used: mul_by_nonresidue specialized below
+        nr_host = ((0, 0), (1, 0), (0, 0))
 
         def mul_by_v(base, x):
             # (c0, c1, c2) * v = (nr6 * c2, c0, c1)
@@ -47,31 +47,37 @@ class Fp12Field(QuadExtField):
         return (c0, c1)
 
     # --- sparse multiplications ------------------------------------------------
+    # Sparse Fp2-slot masks over the 12 prime coordinates (flatten order
+    # c0.(0,1,2) then c1.(0,1,2), two prime coords per Fp2 slot).
+    @staticmethod
+    def _slot_mask(slots):
+        m = [False] * 12
+        for s in slots:
+            m[2 * s] = m[2 * s + 1] = True
+        return tuple(m)
+
+    def _sparse_mul(self, f, g, slots):
+        from . import dot as dot_mod
+
+        out = dot_mod.dot(self, [(1, f, g, None, self._slot_mask(slots))])
+        if out is not None:
+            return out
+        return self.mul(f, g)
+
     def mul_by_014(self, f, c0, c1, c4):
         """f * (c0 + c1*v + c4*v*w) with c_i in Fp2 (M-twist line eval;
-        reference fp12_2over3over2.rs mul_by_014)."""
-        fp6 = self.fp6
-        f0, f1 = f
-        a = fp6.mul_by_01(f0, c0, c1)
-        b = fp6.mul_by_1(f1, c4)
-        c1_plus_c4 = self.fp2.add(c1, c4)
-        e = fp6.mul_by_01(fp6.add(f0, f1), c0, c1_plus_c4)
-        new_f1 = fp6.sub(fp6.sub(e, a), b)
-        new_f0 = fp6.add(a, self.mul_by_nonresidue(b))
-        return (new_f0, new_f1)
+        reference fp12_2over3over2.rs mul_by_014): one fused kernel over
+        the 12x36 nonzero slice of the bilinear form."""
+        z = self.fp2.zero(self.fp2.batch_shape(c0))
+        g = ((c0, c1, z), (z, c4, z))
+        return self._sparse_mul(f, g, (0, 1, 4))
 
     def mul_by_034(self, f, c0, c3, c4):
         """f * (c0 + c3*w + c4*v*w) with c_i in Fp2 (D-twist line eval;
         reference fp12_2over3over2.rs mul_by_034)."""
-        fp6, fp2 = self.fp6, self.fp2
-        f0, f1 = f
-        a = tuple(fp2.mul(x, c0) for x in f0)
-        b = fp6.mul_by_01(f1, c3, c4)
-        c0_plus_c3 = fp2.add(c0, c3)
-        e = fp6.mul_by_01(fp6.add(f0, f1), c0_plus_c3, c4)
-        new_f1 = fp6.sub(fp6.sub(e, a), b)
-        new_f0 = fp6.add(a, self.mul_by_nonresidue(b))
-        return (new_f0, new_f1)
+        z = self.fp2.zero(self.fp2.batch_shape(c0))
+        g = ((c0, z, z), (c3, c4, z))
+        return self._sparse_mul(f, g, (0, 3, 4))
 
     # --- cyclotomic squaring (Granger–Scott; fp12_2over3over2.rs:61-112) ------
     def _fp4_square(self, a, b):
@@ -83,6 +89,16 @@ class Fp12Field(QuadExtField):
         return out0, out1
 
     def cyclotomic_square(self, f):
+        # With the bilinear-form compiler a FULL squaring is one fused
+        # kernel (78 prime products, one reduction) — smaller and faster
+        # than Granger–Scott compressed squaring built from ~9 fp2
+        # squares + ~20 fp2 adds (each add alone costs a carry chain).
+        # GS remains the fallback for non-small-int towers.
+        from . import dot as dot_mod
+
+        out = dot_mod.dot(self, [(1, f, f)])
+        if out is not None:
+            return out
         fp2, fp6 = self.fp2, self.fp6
         (z0, z4, z3), (z2, z1, z5) = f
 

@@ -24,7 +24,7 @@ class Fp6Over3Field(QuadExtField):
 
         super().__init__(
             fp3,
-            None,
+            (0, 1, 0),  # v, the Fp3 cubic generator
             frobenius_coeffs_c1_host,
             name,
             mul_by_nonresidue_fn=mul_by_v,

@@ -72,11 +72,14 @@ class QuadExtField(Field):
         return (self.base.neg(a[0]), self.base.neg(a[1]))
 
     def mul(self, a, b):
-        # Karatsuba with the three independent base products STACKED into
-        # one base-mul call: in nested towers this compounds, so an Fp12
-        # multiply bottoms out in a single batched Fq kernel of batch 3^k
-        # instead of 3^k separate kernels (smaller XLA programs, fuller
-        # vector units).
+        # One fused prime-field kernel via the bilinear-form compiler
+        # (fields/dot.py) when the tower is small-int structured; falls
+        # back to stacked Karatsuba otherwise.
+        from . import dot as dot_mod
+
+        out = dot_mod.dot(self, [(1, a, b)])
+        if out is not None:
+            return out
         B = self.base
         sa = B.stack([a[0], a[1], B.add(a[0], a[1])])
         sb = B.stack([b[0], b[1], B.add(b[0], b[1])])
@@ -89,6 +92,11 @@ class QuadExtField(Field):
         return (c0, c1)
 
     def square(self, a):
+        from . import dot as dot_mod
+
+        out = dot_mod.dot(self, [(1, a, a)])
+        if out is not None:
+            return out
         # (a0 + a1 u)^2 = (a0 + a1)(a0 + nr*a1) - v - nr*v + (2 a0 a1) u
         B = self.base
         sa = B.stack([a[0], B.add(a[0], a[1])])

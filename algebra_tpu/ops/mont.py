@@ -385,6 +385,120 @@ def sum_of_products(spec: FieldSpec, a_list, b_list) -> jnp.ndarray:
     return acc
 
 
+def dot_mass_limit(spec: FieldSpec) -> int:
+    """Largest allowed sum_k |W[o, k]| for ``dot_stacked`` (keeps the
+    uint32 column accumulators below 2^29, leaving headroom for the
+    reduction's own additions)."""
+    colmax = 2 * spec.n_limbs * (1 << LIMB_BITS)
+    return (1 << 29) // colmax
+
+
+def dot_stacked(spec: FieldSpec, A: jnp.ndarray, B: jnp.ndarray,
+                W) -> jnp.ndarray:
+    """sum_k W[o, k] * A[k] * B[k] * R^-1 mod p — ONE Montgomery reduction.
+
+    The vectorized generalization of the reference's single-reduction
+    ``sum_of_products`` (montgomery_backend.rs:391-495): every product's
+    schoolbook columns come from one broadcast multiply, are combined with
+    the integer weight matrix in column space, and reduced once per output
+    row.  Negative weights are handled by duplicating those product pairs
+    with a negated second operand (p - b ≡ -b), so columns stay unsigned
+    and need no bias.  This is what makes tower multiplications
+    single-kernel ops: an Fp12 product becomes a [12, K] weight matrix
+    over K Fq products with one reduction, instead of dozens of chained
+    mul/add kernels whose per-op carry chains dominated both compile time
+    and small-batch runtime.
+
+    A, B: uint32[L, K, *batch] Montgomery-form elements (< p).
+    W:    host int array [n_out, K] (may be negative);
+          sum_k |W[o, k]| <= dot_mass_limit(spec).
+    Returns uint32[L, n_out, *batch].
+    """
+    from ..bigint import int_to_limbs
+
+    L = spec.n_limbs
+    K = A.shape[1]
+    batch = A.shape[2:]
+    W = np.asarray(W, np.int64)
+    n_out = W.shape[0]
+    assert W.shape == (n_out, K)
+    wmass = int(np.abs(W).sum(axis=1).max()) if K else 0
+    if wmass > dot_mass_limit(spec):
+        raise ValueError(
+            f"dot weight mass {wmass} exceeds limit {dot_mass_limit(spec)}"
+        )
+    inv = np.uint32(spec.inv16)
+
+    # fold negative weights into negated operands: -(a*b) == a*(p-b)
+    neg_pairs = np.where((W < 0).any(axis=0))[0]
+    if neg_pairs.size:
+        p_c = bconst(spec.p_limbs, A.shape[1:])
+        b_neg, _ = _sub_limbs(p_c[:, neg_pairs], B[:, neg_pairs])
+        A = jnp.concatenate([A, A[:, neg_pairs]], axis=1)
+        B = jnp.concatenate([B, b_neg], axis=1)
+        W_ext = np.concatenate(
+            [np.maximum(W, 0), np.maximum(-W[:, neg_pairs], 0)], axis=1
+        )
+    else:
+        W_ext = W
+    Ke = A.shape[1]
+
+    # schoolbook columns of every product: [2L-1, Ke, *batch]
+    P = A[:, None] * B[None, :]
+    c_lo = _antidiag_sum(P & _MASK)
+    c_hi = _antidiag_sum(P >> LIMB_BITS)
+
+    # weighted combine in uint32 column space (bounded by wmass * colmax)
+    Wj = jnp.asarray(W_ext.astype(np.uint32))
+    s_lo = jnp.einsum("ok,lk...->lo...", Wj, c_lo)
+    s_hi = jnp.einsum("ok,lk...->lo...", Wj, c_hi)
+    ncols = 2 * L + 1
+    cols = jnp.zeros((ncols, n_out) + batch, dtype=_U32)
+    cols = cols.at[: 2 * L - 1].add(s_lo)
+    cols = cols.at[1 : 2 * L].add(s_hi)
+
+    # interleaved Montgomery reduction (same shape as mul's loop)
+    p_exp = bconst(spec.p_limbs, (1,) * (cols.ndim - 1))
+    zero1 = jnp.zeros((1,) + cols.shape[1:], dtype=_U32)
+
+    def _round(window):
+        m = ((window[0] & _MASK) * inv) & _MASK
+        window = (
+            window
+            + jnp.concatenate([m[None] * p_exp & _MASK, zero1], axis=0)
+            + jnp.concatenate([zero1, (m[None] * p_exp) >> LIMB_BITS], axis=0)
+        )
+        return window.at[1].add(window[0] >> LIMB_BITS)
+
+    if isinstance(cols, jax.core.Tracer):
+        def red_body(i, cols):
+            window = jax.lax.dynamic_slice_in_dim(cols, i, L + 1, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                cols, _round(window), i, axis=0
+            )
+
+        cols = jax.lax.fori_loop(0, L, red_body, cols)
+    else:
+        for i in range(L):
+            cols = jax.lax.dynamic_update_slice_in_dim(
+                cols, _round(cols[i : i + L + 1]), i, axis=0
+            )
+
+    # normalize the high half, then reduce below p with a binary
+    # conditional-subtraction chain sized by the exact value bound
+    res, carry = _normalize(cols[L:])  # [L+1, ...], carry beyond
+    ext = jnp.concatenate([res, carry[None]], axis=0)  # [L+2, ...]
+
+    p_int = spec.modulus
+    v_max = (wmass * (p_int - 1) ** 2) >> (LIMB_BITS * L)
+    n_bits = max(((v_max + p_int) // p_int).bit_length(), 1)
+    for j in reversed(range(n_bits)):
+        mj = bconst(int_to_limbs(p_int << j, ext.shape[0]), ext.shape[1:])
+        d_, borrow = _sub_limbs(ext, mj)
+        ext = jnp.where(borrow.astype(bool), ext, d_)
+    return ext[:L]
+
+
 def mul_by_u32(spec: FieldSpec, a: jnp.ndarray, k: int) -> jnp.ndarray:
     """Multiply by a small host constant via double-and-add."""
     k = int(k)

@@ -98,17 +98,20 @@ def powers_from_device_batch(spec: FieldSpec, bases: jnp.ndarray, n: int) -> jnp
     return table[:, :, :n]
 
 
-def fft_stages(spec: FieldSpec, x: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarray:
+def fft_stages(spec: FieldSpec, x: jnp.ndarray, roots: jnp.ndarray,
+               start_stage: int = 1) -> jnp.ndarray:
     """In-place-order DIT butterflies; x must already be bit-reversed.
 
     x: uint32[L, ..., n]; roots: uint32[L, n/2] table of omega^j.
     Stage s uses the stride-(n/m) subsample of the root table.
+    ``start_stage`` resumes mid-pipeline (the degree-aware path skips the
+    stages a zero-padded input renders trivial).
     """
     n = x.shape[-1]
     log_n = n.bit_length() - 1
     shape = x.shape
 
-    for s in range(1, log_n + 1):
+    for s in range(start_stage, log_n + 1):
         m = 1 << s
         half = m >> 1
         w = roots[:, :: n // m] if m < n else roots  # [L, half]
@@ -224,6 +227,69 @@ def fft(spec: FieldSpec, coeffs: jnp.ndarray, roots: jnp.ndarray,
         return fft_four_step(spec, coeffs, roots)
     x = jnp.take(coeffs, bitrev, axis=-1)
     return fft_stages(spec, x, roots)
+
+
+def fft_degree_aware(spec: FieldSpec, coeffs: jnp.ndarray, n: int,
+                     roots: jnp.ndarray) -> jnp.ndarray:
+    """Size-n forward NTT of a degree-< d polynomial given only its d
+    coefficients (d a power of two, d < n): O(n log d) instead of
+    O(n log n).
+
+    TPU-native form of the reference's degree-aware FFT
+    (poly/src/domain/radix2/fft.rs:22-67, from libiop): with the input
+    zero beyond d, the first log(n/d) DIT stages of the bit-reversed
+    array merely broadcast each nonzero value across its length-(n/d)
+    block (the DFT of (x, 0, .., 0) is constant x).  So: bit-reverse the
+    d real coefficients, repeat each n/d times, and resume the butterfly
+    pipeline at stage log(n/d)+1.
+
+    coeffs: uint32[L, ..., d]; roots: [L, n/2] over the size-n root.
+    """
+    d = coeffs.shape[-1]
+    if d & (d - 1) or n % d:
+        raise ValueError("degree-aware fft needs power-of-two d | n")
+    if d == n:
+        return fft(spec, coeffs, roots, jnp.asarray(bit_reverse_indices(n)))
+    stride = n // d
+
+    if coeffs.ndim == 2 and n >= _FOUR_STEP_MIN:
+        n1, n2 = _split_sizes(n)
+        if d <= n2:
+            return _four_step_low_degree(spec, coeffs, n1, n2, roots)
+
+    x = jnp.take(coeffs, jnp.asarray(bit_reverse_indices(d)), axis=-1)
+    x = jnp.repeat(x, stride, axis=-1)
+    return fft_stages(spec, x, roots,
+                      start_stage=stride.bit_length())  # log2(stride)+1
+
+
+def _four_step_low_degree(spec: FieldSpec, coeffs: jnp.ndarray, n1: int,
+                          n2: int, roots: jnp.ndarray) -> jnp.ndarray:
+    """Four-step NTT when every nonzero coefficient sits in row i1 = 0 of
+    the [n1, n2] layout (d <= n2): the column FFTs of step 1 reduce to a
+    broadcast of row 0, so only the twiddle and the length-n2 transforms
+    remain — O(n log n2) with the same lane-full temporaries."""
+    L, d = coeffs.shape
+    n = n1 * n2
+    half = n // 2
+    row0 = coeffs if d == n2 else jnp.pad(coeffs, [(0, 0), (0, n2 - d)])
+
+    # step 1 (broadcast) fused into step 2's twiddle gather: the
+    # "column FFT" output is row0 at every k1.
+    k1 = np.arange(n1, dtype=np.int64)[:, None]
+    i2 = np.arange(n2, dtype=np.int64)[None, :]
+    e = (k1 * i2) % n
+    sign_flip = e >= half
+    e_lo = jnp.asarray(np.where(sign_flip, e - half, e).astype(np.int32))
+    tw = jnp.take(roots, e_lo.reshape(-1), axis=1).reshape(L, n1, n2)
+    tw = jnp.where(jnp.asarray(sign_flip), mont.neg(spec, tw), tw)
+    x = mont.mul(spec, jnp.broadcast_to(row0[:, None, :], (L, n1, n2)), tw)
+
+    x = jnp.transpose(x, (0, 2, 1))  # [L, n2, n1]
+    br2 = jnp.asarray(bit_reverse_indices(n2))
+    x = jnp.take(x, br2, axis=1)
+    x = fft_stages_major(spec, x, roots[:, ::n1][:, : n2 // 2])
+    return x.reshape(L, n)
 
 
 def scale(spec: FieldSpec, x: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:

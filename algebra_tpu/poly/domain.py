@@ -100,9 +100,29 @@ class Radix2EvaluationDomain:
     def fft(self, coeffs: jnp.ndarray) -> jnp.ndarray:
         """Evaluate the polynomial with the given coefficients over the
         domain (natural order h*g^0, h*g^1, ...); zero-pads short inputs
-        (reference: poly/src/domain/mod.rs fft semantics)."""
+        (reference: poly/src/domain/mod.rs fft semantics).
+
+        Inputs much shorter than the domain take the degree-aware
+        O(n log d) path (radix2/fft.rs:22-67)."""
         roots, _ = self._root_tables()
+        n_in = coeffs.shape[-1]
+        d = 1 << (n_in - 1).bit_length() if n_in > 1 else 1
+        if d * 4 <= self.size:
+            if n_in < d:
+                pad = [(0, 0)] * coeffs.ndim
+                pad[-1] = (0, d - n_in)
+                coeffs = jnp.pad(coeffs, pad)
+            return self._fft_degree_aware(coeffs, roots)
         return self._fft_padded(self._pad(coeffs), roots, self._bitrev)
+
+    @jit_method
+    def _fft_degree_aware(self, coeffs, roots):
+        if self.offset != 1:
+            table = ntt.powers_from_int(
+                self.spec, self.offset, coeffs.shape[-1]
+            )
+            coeffs = ntt.scale(self.spec, coeffs, table)
+        return ntt.fft_degree_aware(self.spec, coeffs, self.size, roots)
 
     def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
         """Interpolate evaluations over the domain back to coefficients."""

@@ -65,6 +65,18 @@ def test_fft_pads_short_input(rng):
     assert got == naive_evals(coeffs + [0] * (n - 5), domain)
 
 
+@pytest.mark.parametrize("coset", [False, True])
+@pytest.mark.parametrize("n_coeffs", [1, 3, 16])
+def test_degree_aware_fft(n_coeffs, coset, rng):
+    """Short inputs take the O(n log d) degree-aware path
+    (radix2/fft.rs:22-67) and must agree with the naive oracle."""
+    n = 64
+    domain = Radix2EvaluationDomain(FR, n, offset=5 if coset else 1)
+    coeffs = [rng.randrange(P) for _ in range(n_coeffs)]
+    got = FR.to_int(domain.fft(FR.from_int(coeffs)))
+    assert got == naive_evals(coeffs + [0] * (n - n_coeffs), domain)
+
+
 def test_batched_fft(rng):
     n = 8
     domain = Radix2EvaluationDomain(FR, n)
