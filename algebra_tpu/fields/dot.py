@@ -218,6 +218,20 @@ def dot(kind, terms):
     small-integer multiplication tensor or the weight mass exceeds the
     kernel's bound (callers fall back to the generic path).
     """
+    out = dot_multi(kind, [terms])
+    return None if out is None else out[0]
+
+
+def dot_multi(kind, groups):
+    """Several independent linear-combinations-of-products, ALL fused
+    into one prime-field kernel (shared broadcast product + one stacked
+    reduction).  ``groups`` is a list of term lists (see ``dot``);
+    returns a list of kind elements, or None on fallback.
+
+    This is the workhorse for hand-fused formulas (pairing step
+    functions, curve group laws): every output of a formula round
+    becomes a weight-matrix row instead of a chain of mul/add kernels.
+    """
     from ..ops import mont
 
     T = mul_tensor(kind)
@@ -226,47 +240,44 @@ def dot(kind, terms):
     spec = kind.prime_kind().spec
     dim = kind.extension_degree() // kind.prime_kind().extension_degree()
 
-    # collect needed products and the weight matrix
-    pairs = {}  # (term_idx, i, j) -> column index
-    entries = []  # (o, col, w)
-    for t_idx, term in enumerate(terms):
-        s, a, b = term[0], term[1], term[2]
-        a_mask = term[3] if len(term) > 3 else None
-        b_mask = term[4] if len(term) > 4 else None
-        if s == 0:
-            continue
-        symmetric = term[1] is term[2]
-        for (o, i, j), w in T.items():
-            if a_mask is not None and not a_mask[i]:
+    # collect needed products and the weight matrix across all groups
+    pairs = {}  # (group_idx, term_idx, i, j) -> column index
+    entries = []  # (row, col, w)
+    flat = {}
+    for g_idx, terms in enumerate(groups):
+        for t_idx, term in enumerate(terms):
+            s, a, b = term[0], term[1], term[2]
+            a_mask = term[3] if len(term) > 3 else None
+            b_mask = term[4] if len(term) > 4 else None
+            if s == 0:
                 continue
-            if b_mask is not None and not b_mask[j]:
-                continue
-            if symmetric and j < i:
-                i, j = j, i  # merge (i,j)/(j,i): a == b makes them equal
-            key = (t_idx, i, j)
-            col = pairs.setdefault(key, len(pairs))
-            entries.append((o, col, s * w))
+            fkey = (g_idx, t_idx)
+            flat[fkey] = (
+                flatten_coords(kind, a),
+                flatten_coords(kind, b),
+            )
+            symmetric = a is b
+            for (o, i, j), w in T.items():
+                if a_mask is not None and not a_mask[i]:
+                    continue
+                if b_mask is not None and not b_mask[j]:
+                    continue
+                if symmetric and j < i:
+                    i, j = j, i  # (i,j)/(j,i) coincide when a == b
+                key = (g_idx, t_idx, i, j)
+                col = pairs.setdefault(key, len(pairs))
+                entries.append((g_idx * dim + o, col, s * w))
     if not pairs:
-        return kind.zero(())
+        return [kind.zero(()) for _ in groups]
 
-    W = np.zeros((dim, len(pairs)), np.int64)
-    for o, col, w in entries:
-        W[o, col] += w
+    W = np.zeros((dim * len(groups), len(pairs)), np.int64)
+    for row, col, w in entries:
+        W[row, col] += w
     if int(np.abs(W).sum(axis=1).max()) > mont.dot_mass_limit(spec):
         return None
 
-    flat = {}
-    for t_idx, term in enumerate(terms):
-        flat[t_idx] = (
-            flatten_coords(kind, term[1]),
-            flatten_coords(kind, term[2]),
-        )
     # broadcast all coordinates to a common batch shape
-    shapes = [
-        c.shape[1:]
-        for fa, fb in flat.values()
-        for c in (*fa, *fb)
-    ]
+    shapes = [c.shape[1:] for fa, fb in flat.values() for c in (*fa, *fb)]
     batch = np.broadcast_shapes(*shapes)
     L = spec.n_limbs
 
@@ -276,12 +287,18 @@ def dot(kind, terms):
         )
 
     cols_a, cols_b = [], []
-    for (t_idx, i, j), col in sorted(pairs.items(), key=lambda kv: kv[1]):
-        fa, fb = flat[t_idx]
+    for (g_idx, t_idx, i, j), col in sorted(
+        pairs.items(), key=lambda kv: kv[1]
+    ):
+        fa, fb = flat[(g_idx, t_idx)]
         cols_a.append(bc(fa[i]))
         cols_b.append(bc(fb[j]))
     A = jnp.stack(cols_a, axis=1)
     B = jnp.stack(cols_b, axis=1)
-    out = mont.dot_stacked(spec, A, B, W)  # [L, dim, *batch]
-    coords = [out[:, o] for o in range(dim)]
-    return unflatten_coords(kind, coords)
+    out = mont.dot_stacked(spec, A, B, W)  # [L, dim*n_groups, *batch]
+    return [
+        unflatten_coords(
+            kind, [out[:, g * dim + o] for o in range(dim)]
+        )
+        for g in range(len(groups))
+    ]

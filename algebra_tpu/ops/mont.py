@@ -372,12 +372,25 @@ def batch_inverse(spec: FieldSpec, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray
 
 
 def sum_of_products(spec: FieldSpec, a_list, b_list) -> jnp.ndarray:
-    """sum_i a_i * b_i (reference: ff/src/fields/mod.rs sum_of_products).
+    """sum_i a_i * b_i with ONE shared Montgomery reduction
+    (reference: ff/src/fields/mod.rs sum_of_products and the interleaved
+    formulation montgomery_backend.rs:391-495), via ``dot_stacked``.
+    Falls back to a mul/add fold if the term count exceeds the column
+    headroom."""
+    k = len(a_list)
+    if 0 < k <= dot_mass_limit(spec):
+        L = spec.n_limbs
+        batch = np.broadcast_shapes(
+            *[x.shape[1:] for x in (*a_list, *b_list)]
+        )
 
-    v1: fold of full Montgomery products.  TODO(perf): share the single
-    final reduction across terms (the reference's interleaved formulation,
-    montgomery_backend.rs:391-495).
-    """
+        def bc(x):
+            return jnp.broadcast_to(expand(x, len(batch)), (L,) + batch)
+
+        A = jnp.stack([bc(a) for a in a_list], axis=1)
+        B = jnp.stack([bc(b) for b in b_list], axis=1)
+        out = dot_stacked(spec, A, B, np.ones((1, k), np.int64))
+        return out[:, 0]
     acc = None
     for a, b in zip(a_list, b_list):
         t = mul(spec, a, b)

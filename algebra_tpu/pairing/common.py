@@ -29,7 +29,65 @@ class PairingEngine:
         self.twist_b_host = g2.b_host
 
     # ----------------------------------------------------- G2 prepare steps
+    #
+    # Homogeneous-projective double/add with line coefficients (eprint
+    # 2013/722; reference bls12/g2.rs:109-156).  The formulas are
+    # hand-decomposed into a few ``dot_multi`` waves — each wave is ONE
+    # fused prime-field kernel computing several linear combinations of
+    # products — instead of ~10 sequential Fp2 mul/add kernels whose
+    # carry chains dominated the Miller scan body's size and small-batch
+    # latency.  The unfused path remains as the fallback for towers
+    # without a small-integer multiplication tensor.
+
     def _double_step(self, r, shape):
+        from ..fields import dot as dot_mod
+
+        F2, F = self.fq2, self.fq
+        x, y, z = r
+        # wave 1: raw input products
+        w1 = dot_mod.dot_multi(F2, [
+            [(1, x, y)],
+            [(1, y, y)],
+            [(1, z, z)],
+            [(1, y, z)],
+            [(1, x, x)],
+        ])
+        if w1 is None:
+            return self._double_step_generic(r, shape)
+        xy, b, c, yz, j = w1
+        one2 = F2.one(())
+        two_inv_c = F2.constant((self.two_inv_host, 0))
+        twist_b_c = F2.constant(self.twist_b_host)
+        p_mod = F.spec.modulus
+        tb_half = tuple(
+            (v * self.two_inv_host) % p_mod for v in self.twist_b_host
+        )
+        tb_half_c = F2.constant(tb_half)
+        m0 = (True, False)  # base-field constants live in coordinate 0
+        # wave 2: a = xy/2, e = 3*b_twist*c, g = b/2 + (9/2)*b_twist*c
+        w2 = dot_mod.dot_multi(F2, [
+            [(1, two_inv_c, xy, m0, None)],
+            [(3, twist_b_c, c)],
+            [(1, two_inv_c, b, m0, None), (9, tb_half_c, c)],
+        ])
+        a, e, g = w2
+        # wave 3: outputs and line coefficients
+        w3 = dot_mod.dot_multi(F2, [
+            [(1, a, b), (-3, a, e)],          # new_x = a(b - 3e)
+            [(1, g, g), (-3, e, e)],          # new_y = g^2 - 3e^2
+            [(2, b, yz)],                     # new_z = b * h, h = 2yz
+            [(1, e, one2), (-1, b, one2)],    # i = e - b
+            [(3, j, one2)],                   # 3j
+            [(-2, yz, one2)],                 # -h
+        ])
+        new_x, new_y, new_z, i, j3, neg_h = w3
+        if self.twist_type == "M":
+            coeffs = (i, j3, neg_h)
+        else:
+            coeffs = (neg_h, j3, i)
+        return (new_x, new_y, new_z), coeffs
+
+    def _double_step_generic(self, r, shape):
         F2, F = self.fq2, self.fq
         x, y, z = r
         two_inv = F.constant(self.two_inv_host, shape)
@@ -54,6 +112,45 @@ class PairingEngine:
         return (new_x, new_y, new_z), coeffs
 
     def _add_step(self, r, q_aff):
+        from ..fields import dot as dot_mod
+
+        F2 = self.fq2
+        x, y, z = r
+        qx, qy = q_aff
+        one2 = F2.one(())
+        # wave 1: theta = y - qy z, lam = x - qx z
+        w1 = dot_mod.dot_multi(F2, [
+            [(1, y, one2), (-1, qy, z)],
+            [(1, x, one2), (-1, qx, z)],
+        ])
+        if w1 is None:
+            return self._add_step_generic(r, q_aff)
+        theta, lam = w1
+        # wave 2: c = theta^2, d = lam^2
+        c, d = dot_mod.dot_multi(F2, [[(1, theta, theta)], [(1, lam, lam)]])
+        # wave 3: e = lam d, f = z c, g = x d, j = theta qx - lam qy
+        e, f, g, jc = dot_mod.dot_multi(F2, [
+            [(1, lam, d)],
+            [(1, z, c)],
+            [(1, x, d)],
+            [(1, theta, qx), (-1, lam, qy)],
+        ])
+        # wave 4: with h = e + f - 2g:
+        #   new_x = lam h; new_y = theta(g - h) - e y = 3 theta g
+        #            - theta e - theta f - e y; new_z = z e; -theta
+        new_x, new_y, new_z, neg_theta = dot_mod.dot_multi(F2, [
+            [(1, lam, e), (1, lam, f), (-2, lam, g)],
+            [(3, theta, g), (-1, theta, e), (-1, theta, f), (-1, e, y)],
+            [(1, z, e)],
+            [(-1, theta, one2)],
+        ])
+        if self.twist_type == "M":
+            coeffs = (jc, neg_theta, lam)
+        else:
+            coeffs = (lam, neg_theta, jc)
+        return (new_x, new_y, new_z), coeffs
+
+    def _add_step_generic(self, r, q_aff):
         F2 = self.fq2
         x, y, z = r
         qx, qy = q_aff
