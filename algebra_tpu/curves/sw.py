@@ -71,6 +71,17 @@ class SWCurve:
         from ..fields.prime import PrimeField
 
         self._prime_base = isinstance(base, PrimeField)
+        self._dot_ok = None  # lazily probed: base kind has a mul tensor
+
+    def _dot_available(self) -> bool:
+        """True when the base kind supports the bilinear-form compiler
+        (fields/dot.py) — then the group laws run as a few fused
+        multi-output Montgomery kernels instead of chains of mul/add."""
+        if self._dot_ok is None:
+            from ..fields import dot as dot_mod
+
+            self._dot_ok = dot_mod.mul_tensor(self.base) is not None
+        return self._dot_ok
 
     def _use_fused(self, P):
         """Fused Pallas group-law kernels: prime base field, a == 0,
@@ -153,10 +164,36 @@ class SWCurve:
         a == 0: dbl-2009-l (group.rs:176); general a: dbl-2007-bl
         (group.rs:210).  Infinity and 2-torsion fall out automatically
         (Z3 = 2*Y1*Z1 == 0).
+
+        When the base kind has a small-integer multiplication tensor the
+        a == 0 formula runs as THREE fused multi-output Montgomery
+        kernels (fields/dot.py waves) instead of ~7 muls + ~8 adds —
+        the same re-formulation as the pairing step functions.
         """
         B = self.base
         X1, Y1, Z1 = P
         if self.a_is_zero:
+            if self._dot_available():
+                from ..fields import dot as dot_mod
+
+                # dbl-2009-l algebraically flattened:
+                #   A = X^2, Bv = Y^2, D = 4*X*Bv,
+                #   X3 = 9*A^2 - 8*X*Bv, Z3 = 2*Y*Z,
+                #   Y3 = 3*A*(D - X3) - 8*Bv^2
+                A, Bv, Z3 = dot_mod.dot_multi(B, [
+                    [(1, X1, X1)],
+                    [(1, Y1, Y1)],
+                    [(2, Y1, Z1)],
+                ])
+                D, X3 = dot_mod.dot_multi(B, [
+                    [(4, X1, Bv)],
+                    [(9, A, A), (-8, X1, Bv)],
+                ])
+                S = B.sub(D, X3)
+                (Y3,) = dot_mod.dot_multi(B, [
+                    [(3, A, S), (-8, Bv, Bv)],
+                ])
+                return (X3, Y3, Z3)
             A = B.square(X1)
             Bv = B.square(Y1)
             C = B.square(Bv)
@@ -191,23 +228,60 @@ class SWCurve:
         B = self.base
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
-        Z1Z1 = B.square(Z1)
-        Z2Z2 = B.square(Z2)
-        U1 = B.mul(X1, Z2Z2)
-        U2 = B.mul(X2, Z1Z1)
-        S1 = B.mul(Y1, B.mul(Z2, Z2Z2))
-        S2 = B.mul(Y2, B.mul(Z1, Z1Z1))
-        H = B.sub(U2, U1)
-        r = B.double(B.sub(S2, S1))
-        I = B.square(B.double(H))
-        J = B.mul(H, I)
-        V = B.mul(U1, I)
-        X3 = B.sub(B.sub(B.square(r), J), B.double(V))
-        Y3 = B.sub(B.mul(r, B.sub(V, X3)), B.double(B.mul(S1, J)))
-        Z3 = B.mul(B.sub(B.sub(B.square(B.add(Z1, Z2)), Z1Z1), Z2Z2), H)
-        res = (X3, Y3, Z3)
+        if self._dot_available():
+            from ..fields import dot as dot_mod
+
+            # add-2007-bl flattened into 5 fused waves.  With
+            # rho = S2 - S1 (r = 2*rho), I = 4*H^2, J = H*I, V = U1*I:
+            #   X3 = 4*rho^2 - 4*H^3 - 8*U1*H^2
+            #   Y3 = 2*rho*(V - X3) - 8*S1*H^3
+            #   Z3 = 2*Z1*Z2*H
+            ZZ1, ZZ2, ZZ12, YZ12, YZ21 = dot_mod.dot_multi(B, [
+                [(1, Z1, Z1)],
+                [(1, Z2, Z2)],
+                [(1, Z1, Z2)],
+                [(1, Y1, Z2)],
+                [(1, Y2, Z1)],
+            ])
+            U1, S1, H, rho = dot_mod.dot_multi(B, [
+                [(1, X1, ZZ2)],
+                [(1, YZ12, ZZ2)],
+                [(1, X2, ZZ1), (-1, X1, ZZ2)],
+                [(1, YZ21, ZZ1), (-1, YZ12, ZZ2)],
+            ])
+            HH, Z3 = dot_mod.dot_multi(B, [
+                [(1, H, H)],
+                [(2, ZZ12, H)],
+            ])
+            X3, V, J4 = dot_mod.dot_multi(B, [
+                [(4, rho, rho), (-4, H, HH), (-8, U1, HH)],
+                [(4, U1, HH)],
+                [(4, H, HH)],
+            ])
+            S5 = B.sub(V, X3)
+            (Y3,) = dot_mod.dot_multi(B, [
+                [(2, rho, S5), (-2, S1, J4)],
+            ])
+            res = (X3, Y3, Z3)
+            same = jnp.logical_and(B.is_zero(H), B.is_zero(rho))  # P == Q
+        else:
+            Z1Z1 = B.square(Z1)
+            Z2Z2 = B.square(Z2)
+            U1 = B.mul(X1, Z2Z2)
+            U2 = B.mul(X2, Z1Z1)
+            S1 = B.mul(Y1, B.mul(Z2, Z2Z2))
+            S2 = B.mul(Y2, B.mul(Z1, Z1Z1))
+            H = B.sub(U2, U1)
+            r = B.double(B.sub(S2, S1))
+            I = B.square(B.double(H))
+            J = B.mul(H, I)
+            V = B.mul(U1, I)
+            X3 = B.sub(B.sub(B.square(r), J), B.double(V))
+            Y3 = B.sub(B.mul(r, B.sub(V, X3)), B.double(B.mul(S1, J)))
+            Z3 = B.mul(B.sub(B.sub(B.square(B.add(Z1, Z2)), Z1Z1), Z2Z2), H)
+            res = (X3, Y3, Z3)
+            same = jnp.logical_and(B.is_zero(H), B.is_zero(r))  # P == Q
         # exceptional cases
-        same = jnp.logical_and(B.is_zero(H), B.is_zero(r))  # P == Q
         res = self.select(same, self.double(P), res)
         res = self.select(self.is_zero(Q), P, res)
         res = self.select(self.is_zero(P), Q, res)
@@ -223,20 +297,54 @@ class SWCurve:
         B = self.base
         X1, Y1, Z1 = P
         X2, Y2, inf2 = aff
-        Z1Z1 = B.square(Z1)
-        U2 = B.mul(X2, Z1Z1)
-        S2 = B.mul(Y2, B.mul(Z1, Z1Z1))
-        H = B.sub(U2, X1)
-        r = B.double(B.sub(S2, Y1))
-        HH = B.square(H)
-        I = B.double(B.double(HH))
-        J = B.mul(H, I)
-        V = B.mul(X1, I)
-        X3 = B.sub(B.sub(B.square(r), J), B.double(V))
-        Y3 = B.sub(B.mul(r, B.sub(V, X3)), B.double(B.mul(Y1, J)))
-        Z3 = B.sub(B.sub(B.square(B.add(Z1, H)), Z1Z1), HH)
-        res = (X3, Y3, Z3)
-        same = jnp.logical_and(B.is_zero(H), B.is_zero(r))
+        if self._dot_available():
+            from ..fields import dot as dot_mod
+
+            # madd-2007-bl flattened into 5 fused waves.  With
+            # rho = S2 - Y1 (r = 2*rho), I = 4*HH, J = H*I, V = X1*I:
+            #   X3 = 4*rho^2 - 4*H*HH - 8*X1*HH
+            #   Y3 = 2*rho*(V - X3) - 8*Y1*H*HH
+            #   Z3 = 2*Z1*H
+            ZZ, YZ = dot_mod.dot_multi(B, [
+                [(1, Z1, Z1)],
+                [(1, Y2, Z1)],
+            ])
+            U2, S2 = dot_mod.dot_multi(B, [
+                [(1, X2, ZZ)],
+                [(1, YZ, ZZ)],
+            ])
+            H = B.sub(U2, X1)
+            rho = B.sub(S2, Y1)
+            HH, Z3 = dot_mod.dot_multi(B, [
+                [(1, H, H)],
+                [(2, Z1, H)],
+            ])
+            X3, V, J4 = dot_mod.dot_multi(B, [
+                [(4, rho, rho), (-4, H, HH), (-8, X1, HH)],
+                [(4, X1, HH)],
+                [(4, H, HH)],
+            ])
+            S5 = B.sub(V, X3)
+            (Y3,) = dot_mod.dot_multi(B, [
+                [(2, rho, S5), (-2, Y1, J4)],
+            ])
+            res = (X3, Y3, Z3)
+            same = jnp.logical_and(B.is_zero(H), B.is_zero(rho))
+        else:
+            Z1Z1 = B.square(Z1)
+            U2 = B.mul(X2, Z1Z1)
+            S2 = B.mul(Y2, B.mul(Z1, Z1Z1))
+            H = B.sub(U2, X1)
+            r = B.double(B.sub(S2, Y1))
+            HH = B.square(H)
+            I = B.double(B.double(HH))
+            J = B.mul(H, I)
+            V = B.mul(X1, I)
+            X3 = B.sub(B.sub(B.square(r), J), B.double(V))
+            Y3 = B.sub(B.mul(r, B.sub(V, X3)), B.double(B.mul(Y1, J)))
+            Z3 = B.sub(B.sub(B.square(B.add(Z1, H)), Z1Z1), HH)
+            res = (X3, Y3, Z3)
+            same = jnp.logical_and(B.is_zero(H), B.is_zero(r))
         res = self.select(same, self.double(P), res)
         res = self.select(inf2, P, res)
         res = self.select(self.is_zero(P), self.from_affine(aff), res)
