@@ -45,6 +45,25 @@ class TECurve:
         self.cofactor_inv = pow(self.cofactor, -1, scalar_modulus)
         self.scalar_modulus = int(scalar_modulus)
         self.montgomery_coeffs = montgomery_coeffs
+        self._dot_ok = None  # lazily probed (see _dot_small_a)
+
+    def _dot_small_a(self):
+        """Fused-wave eligibility: the base kind has a small-integer
+        multiplication tensor AND the curve constant a is a small signed
+        integer (a = -1 for every TE instance here), so a*A folds into
+        integer dot weights.  Returns the small a or None."""
+        if self._dot_ok is None:
+            from ..fields import dot as dot_mod
+
+            small = None
+            if dot_mod.mul_tensor(self.base) is not None and isinstance(
+                self.a_host, int
+            ):
+                small = dot_mod._as_small_int(
+                    self.base.characteristic(), self.a_host % self.base.characteristic()
+                )
+            self._dot_ok = (small,)
+        return self._dot_ok[0]
 
     # ------------------------------------------------------------ constants
     def _a(self, shape):
@@ -100,9 +119,34 @@ class TECurve:
         return (B.neg(P[0]), P[1], B.neg(P[2]), P[3])
 
     def double(self, P):
-        """dbl-2008-hwcd (group.rs:160-164)."""
+        """dbl-2008-hwcd (group.rs:160-164).
+
+        With a small-integer curve a, runs as TWO fused multi-output
+        Montgomery kernels (fields/dot.py waves) + cheap linear mixes
+        instead of ~9 chained muls."""
         B = self.base
         X1, Y1, T1, Z1 = P
+        alpha = self._dot_small_a()
+        if alpha is not None:
+            from ..fields import dot as dot_mod
+
+            A, Bv, C2, E = dot_mod.dot_multi(B, [
+                [(1, X1, X1)],
+                [(1, Y1, Y1)],
+                [(2, Z1, Z1)],
+                [(2, X1, Y1)],  # (X+Y)^2 - A - Bv == 2XY
+            ])
+            D = self._scale_small(A, alpha)
+            G = B.add(D, Bv)
+            F = B.sub(G, C2)
+            H = B.sub(D, Bv)
+            X3, Y3, T3, Z3 = dot_mod.dot_multi(B, [
+                [(1, E, F)],
+                [(1, G, H)],
+                [(1, E, H)],
+                [(1, F, G)],
+            ])
+            return (X3, Y3, T3, Z3)
         shape = B.batch_shape(X1)
         A = B.square(X1)
         Bv = B.square(Y1)
@@ -114,12 +158,55 @@ class TECurve:
         H = B.sub(D, Bv)
         return (B.mul(E, F), B.mul(G, H), B.mul(E, H), B.mul(F, G))
 
+    def _scale_small(self, x, k: int):
+        """x * k for a small host integer k (folds the TE curve a)."""
+        B = self.base
+        if k < 0:
+            return B.neg(self._scale_small(x, -k))
+        if k == 0:
+            return B.zero(B.batch_shape(x))
+        if k == 1:
+            return x
+        acc = x
+        for bit in bin(k)[3:]:
+            acc = B.add(acc, acc)
+            if bit == "1":
+                acc = B.add(acc, x)
+        return acc
+
     def add(self, P, Q):
         """Unified add-2008-hwcd — exception-free on complete TE curves,
-        including P == Q and the identity (group.rs:241-246)."""
+        including P == Q and the identity (group.rs:241-246).
+
+        With a small-integer curve a, runs as THREE fused multi-output
+        Montgomery kernels (the curve d stays a broadcast constant
+        operand) instead of ~9 chained muls."""
         B = self.base
         X1, Y1, T1, Z1 = P
         X2, Y2, T2, Z2 = Q
+        alpha = self._dot_small_a()
+        if alpha is not None:
+            from ..fields import dot as dot_mod
+
+            A, Bv, TT, D, E = dot_mod.dot_multi(B, [
+                [(1, X1, X2)],
+                [(1, Y1, Y2)],
+                [(1, T1, T2)],
+                [(1, Z1, Z2)],
+                [(1, X1, Y2), (1, Y1, X2)],  # (X1+Y1)(X2+Y2) - A - Bv
+            ])
+            dC = B.constant(self.d_host)
+            (C,) = dot_mod.dot_multi(B, [[(1, dC, TT)]])
+            F = B.sub(D, C)
+            G = B.add(D, C)
+            H = B.sub(Bv, self._scale_small(A, alpha))
+            X3, Y3, T3, Z3 = dot_mod.dot_multi(B, [
+                [(1, E, F)],
+                [(1, G, H)],
+                [(1, E, H)],
+                [(1, F, G)],
+            ])
+            return (X3, Y3, T3, Z3)
         shape = B.batch_shape(X1)
         A = B.mul(X1, X2)
         Bv = B.mul(Y1, Y2)
