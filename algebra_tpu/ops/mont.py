@@ -399,11 +399,20 @@ def sum_of_products(spec: FieldSpec, a_list, b_list) -> jnp.ndarray:
 
 
 def dot_mass_limit(spec: FieldSpec) -> int:
-    """Largest allowed sum_k |W[o, k]| for ``dot_stacked`` (keeps the
-    uint32 column accumulators below 2^29, leaving headroom for the
-    reduction's own additions)."""
-    colmax = 2 * spec.n_limbs * (1 << LIMB_BITS)
-    return (1 << 29) // colmax
+    """Largest allowed sum_k |W[o, k]| for ``dot_stacked``.
+
+    Exact headroom accounting: ``_normalize`` needs every column
+    accumulator < 2^31 (high halves < 2^15).  A column starts at
+    <= wmass * colmax (colmax = 2L * 2^16 from the stacked antidiagonal
+    sums) and the interleaved reduction adds at most 2*(2^16 - 1) per
+    round over <= L+1 rounds plus one 2^15 carry fold, so
+    wmass <= (2^31 - (L+1)*2^17 - 2^15) / colmax.  (The previous flat
+    2^29 bound was 4x too conservative and forced pairing-step fusions
+    over towers with nonresidues like 13 back onto the generic path.)"""
+    L = spec.n_limbs
+    colmax = 2 * L * (1 << LIMB_BITS)
+    slack = (L + 1) * (1 << (LIMB_BITS + 1)) + (1 << (LIMB_BITS - 1))
+    return ((1 << 31) - slack) // colmax
 
 
 def dot_stacked(spec: FieldSpec, A: jnp.ndarray, B: jnp.ndarray,

@@ -43,8 +43,49 @@ class BW6:
         self.g2_b_host = g2.b_host
 
     # ---------------------------------------------------------------- steps
+    #
+    # Like the BLS12/BN steps (common.py), the homogeneous-projective
+    # recurrences are hand-decomposed into fused ``dot_multi`` waves —
+    # a few multi-output Montgomery kernels per step instead of ~20
+    # chained mul/add kernels — with the generic formulas as fallback.
+
     def _double_step(self, r, shape):
         """bw6/g2.rs:128-151 (no half constants: doubled variants)."""
+        from ..fields import dot as dot_mod
+
+        F = self.fq
+        x, y, z = r
+        w1 = dot_mod.dot_multi(F, [
+            [(1, x, y)],
+            [(1, y, y)],
+            [(1, z, z)],
+            [(1, y, z)],   # h = (y+z)^2 - b - c == 2yz
+            [(1, x, x)],
+        ])
+        if w1 is None:
+            return self._double_step_generic(r, shape)
+        a, b, c, yz, j = w1
+        bC = F.constant(self.g2_b_host)
+        (e,) = dot_mod.dot_multi(F, [[(3, bC, c)]])
+        # with f = 3e, g = b + f:
+        #   nx = 2a(b - f)         = 2ab - 6ae
+        #   ny = g^2 - 12e^2       = b^2 + 6be - 3e^2
+        #   nz = 4b * h            = 8 * b * yz
+        nx, ny, nz = dot_mod.dot_multi(F, [
+            [(2, a, b), (-6, a, e)],
+            [(1, b, b), (6, b, e), (-3, e, e)],
+            [(8, b, yz)],
+        ])
+        i = F.sub(e, b)
+        j3 = F.add(F.double(j), j)
+        neg_h = F.neg(F.double(yz))
+        if self.twist_type == "M":
+            coeffs = (i, j3, neg_h)
+        else:
+            coeffs = (neg_h, j3, i)
+        return (nx, ny, nz), coeffs
+
+    def _double_step_generic(self, r, shape):
         F = self.fq
         x, y, z = r
         a = F.mul(x, y)
@@ -69,6 +110,42 @@ class BW6:
 
     def _add_step(self, r, q_aff):
         """bw6/g2.rs:153-173."""
+        from ..fields import dot as dot_mod
+
+        F = self.fq
+        x, y, z = r
+        qx, qy = q_aff
+        w1 = dot_mod.dot_multi(F, [
+            [(1, qy, z)],
+            [(1, qx, z)],
+        ])
+        if w1 is None:
+            return self._add_step_generic(r, q_aff)
+        qyz, qxz = w1
+        theta = F.sub(y, qyz)
+        lam = F.sub(x, qxz)
+        c, d = dot_mod.dot_multi(F, [[(1, theta, theta)], [(1, lam, lam)]])
+        e, f, g, jc = dot_mod.dot_multi(F, [
+            [(1, lam, d)],
+            [(1, z, c)],
+            [(1, x, d)],
+            [(1, theta, qx), (-1, lam, qy)],
+        ])
+        # h = e + f - 2g:
+        #   nx = lam*h; ny = theta(g - h) - e*y; nz = z*e
+        nx, ny, nz = dot_mod.dot_multi(F, [
+            [(1, lam, e), (1, lam, f), (-2, lam, g)],
+            [(3, theta, g), (-1, theta, e), (-1, theta, f), (-1, e, y)],
+            [(1, z, e)],
+        ])
+        neg_theta = F.neg(theta)
+        if self.twist_type == "M":
+            coeffs = (jc, neg_theta, lam)
+        else:
+            coeffs = (lam, neg_theta, jc)
+        return (nx, ny, nz), coeffs
+
+    def _add_step_generic(self, r, q_aff):
         F = self.fq
         x, y, z = r
         qx, qy = q_aff

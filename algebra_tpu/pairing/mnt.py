@@ -51,8 +51,58 @@ class MNTEngine:
         self.w0_neg = bool(final_exponent_last_chunk_w0_is_neg)
 
     # ---------------------------------------------------------------- steps
+    #
+    # The extended-projective recurrences are hand-decomposed into fused
+    # ``dot_multi`` waves over the coefficient field (a few multi-output
+    # Montgomery kernels per step instead of ~13 tower muls + ~15 linear
+    # kernels), with the verbatim formulas as fallback.  The derivations
+    # use the loop invariant t == z^2 (r0 has t = z = 1; both steps
+    # maintain nt = nz^2), which collapses every (u+v)^2-u^2-v^2 trick
+    # back to its 2uv product.
+
     def _double_step(self, r, shape):
         """(mod.rs doubling_for_flipped_miller_loop:54-90)."""
+        from ..fields import dot as dot_mod
+
+        F2 = self.coeff_field
+        x, y, z, t = r
+        w1 = dot_mod.dot_multi(F2, [
+            [(1, t, t)],
+            [(1, x, x)],
+            [(1, y, y)],
+            [(1, y, z)],   # nz = (y+z)^2 - c - z^2 == 2yz
+        ])
+        if w1 is None:
+            return self._double_step_generic(r, shape)
+        a, b, c, yz = w1
+        taC = F2.constant(self.twist_coeff_a_host)
+        # taa = TWIST_COEFF_A * a; e = (x+c)^2 - b - d == 2xc;
+        # nt = nz^2 = 4(yz)^2; c_h = (nz+t)^2 - nt - a == 2*nz*t = 4*yz*t
+        taa, e, nt, c_h = dot_mod.dot_multi(F2, [
+            [(1, taC, a)],
+            [(2, x, c)],
+            [(4, yz, yz)],
+            [(4, yz, t)],
+        ])
+        nz = F2.double(yz)
+        # with f = 3b + taa, g = f^2:
+        #   nx  = g - 4e = 9b^2 + 6b*taa + taa^2 - 8xc
+        #   c_j = (f+t)^2 - g - a == 2ft = 6bt + 2*taa*t
+        #   c_l = (f+x)^2 - g - b == 2fx = 6bx + 2*taa*x
+        nx, c_j, c_l = dot_mod.dot_multi(F2, [
+            [(9, b, b), (6, b, taa), (1, taa, taa), (-8, x, c)],
+            [(6, b, t), (2, taa, t)],
+            [(6, b, x), (2, taa, x)],
+        ])
+        s = F2.sub(F2.double(e), nx)
+        # ny = f*(2e - nx) - 8d, d = c^2
+        (ny,) = dot_mod.dot_multi(F2, [
+            [(3, b, s), (1, taa, s), (-8, c, c)],
+        ])
+        coeff = dict(c_h=c_h, c_4c=F2.double(F2.double(c)), c_j=c_j, c_l=c_l)
+        return (nx, ny, nz, nt), coeff
+
+    def _double_step_generic(self, r, shape):
         F2 = self.coeff_field
         x, y, z, t = r
         a = F2.square(t)
@@ -78,6 +128,41 @@ class MNTEngine:
 
     def _add_step(self, r, qx, qy):
         """(mod.rs mixed_addition_for_flipped_miller_loop:92-120)."""
+        from ..fields import dot as dot_mod
+
+        F2 = self.coeff_field
+        x, y, z, t = r
+        w1 = dot_mod.dot_multi(F2, [
+            [(1, z, qy)],  # (z+qy)^2 - qy^2 - t == 2*z*qy  (t == z^2)
+            [(1, t, qx)],
+        ])
+        if w1 is None:
+            return self._add_step_generic(r, qx, qy)
+        zqy, b = w1
+        h = F2.sub(b, x)
+        # d = 2*z*qy*t; i = h^2; nz = (z+h)^2 - t - i == 2zh
+        d, i, nz = dot_mod.dot_multi(F2, [
+            [(2, zqy, t)],
+            [(1, h, h)],
+            [(2, z, h)],
+        ])
+        l1 = F2.sub(d, F2.double(y))
+        # e = 4i; j = h*e; v = x*e
+        # nx = l1^2 - j - 2v = l1^2 - 4hi - 8xi; nt = nz^2
+        j, v, nx, nt = dot_mod.dot_multi(F2, [
+            [(4, h, i)],
+            [(4, x, i)],
+            [(1, l1, l1), (-4, h, i), (-8, x, i)],
+            [(1, nz, nz)],
+        ])
+        s = F2.sub(v, nx)
+        # ny = l1*(v - nx) - 2*y*j
+        (ny,) = dot_mod.dot_multi(F2, [
+            [(1, l1, s), (-2, y, j)],
+        ])
+        return (nx, ny, nz, nt), dict(c_l1=l1, c_rz=nz)
+
+    def _add_step_generic(self, r, qx, qy):
         F2 = self.coeff_field
         x, y, z, t = r
         a = F2.square(qy)
