@@ -132,6 +132,22 @@ def _tree_take(value, idx):
     return jax.tree_util.tree_map(lambda a: a[:, idx], value)
 
 
+def _tree_rowmajor(value):
+    """Limb-major [L, n] leaves -> point-major [n, L] copies.
+
+    The bucket rounds gather one point per (window, bucket) from HBM;
+    on a point-major copy each gathered point is ONE contiguous L-limb
+    row (a single cache line for 384-bit fields) instead of L
+    column elements strided n*4 bytes apart."""
+    return jax.tree_util.tree_map(lambda a: a.T, value)
+
+
+def _row_take(value, idx):
+    """Row-gather point-major [n, L] leaves at idx[...] and restore the
+    limb-major layout: returns [L, *idx.shape] leaves."""
+    return jax.tree_util.tree_map(lambda a: jnp.moveaxis(a[idx], -1, 0), value)
+
+
 def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         scalar_bits: int | None = None):
     """Variable-base MSM:  sum_i scalars[i] * bases[i].
@@ -185,13 +201,16 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
     )(sorted_key)
     counts = (end - start).astype(jnp.int32)  # [W, B]
 
+    x_row = _tree_rowmajor(x)
+    y_row = _tree_rowmajor(y)
+
     def make_round_body(order_w, start_w, counts_w, isneg_w):
         def round_body(r, acc):
             pos = start_w + r
             valid = r < counts_w
             idx = jnp.take_along_axis(order_w, jnp.clip(pos, 0, n - 1), axis=1)
-            gx = _tree_take(x, idx)
-            gy = _tree_take(y, idx)
+            gx = _row_take(x_row, idx)
+            gy = _row_take(y_row, idx)
             gneg = jnp.take_along_axis(isneg_w, idx, axis=1)
             gy2 = B.select(gneg, B.neg(gy), gy)
             g_inf = jnp.logical_not(valid)
