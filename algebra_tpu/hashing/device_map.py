@@ -21,19 +21,35 @@ from ..fields.prime import PrimeField
 
 
 def _parity_device(field, x):
-    """IETF sgn0 for prime fields: lowest canonical bit."""
-    canonical = field.to_canonical_limbs(x)
-    return (canonical[0] & 1).astype(jnp.bool_)
+    """IETF sgn0: parity of the first nonzero prime coefficient
+    (coefficients walked little-endian, matching the host pipeline's
+    map_to_curve._parity and swu/mod.rs parity)."""
+    if isinstance(field, PrimeField):
+        canonical = field.to_canonical_limbs(x)
+        return (canonical[0] & 1).astype(jnp.bool_)
+    parity = None
+    seen_nonzero = None
+    for c in x:
+        pc = _parity_device(field.base, c)
+        nz = jnp.logical_not(field.base.is_zero(c))
+        pc = jnp.logical_and(pc, nz)  # all-zero coefficient contributes 0
+        if parity is None:
+            parity, seen_nonzero = pc, nz
+        else:
+            parity = jnp.where(seen_nonzero, parity, pc)
+            seen_nonzero = jnp.logical_or(seen_nonzero, nz)
+    return parity
 
 
 class DeviceSWUMap:
-    """Simplified SWU on device for prime-field curves (a*b != 0)."""
+    """Simplified SWU on device (a*b != 0); works over any field kind
+    with batched sqrt (prime or quadratic extension — G1 and G2)."""
 
-    def __init__(self, field: PrimeField, a_host: int, b_host: int, zeta_host: int):
+    def __init__(self, field, a_host, b_host, zeta_host):
         self.F = field
-        self.a_host = a_host
-        self.b_host = b_host
-        self.zeta_host = zeta_host
+        self.a_host = _lift_host(field, a_host)
+        self.b_host = _lift_host(field, b_host)
+        self.zeta_host = _lift_host(field, zeta_host)
 
     def map_to_curve(self, u):
         """u: field batch -> (x, y) affine batch on the iso curve."""
@@ -72,6 +88,24 @@ class DeviceSWUMap:
         return x_aff, y_aff
 
 
+def _lift_host(field, v):
+    """Host constant (int or coefficient tuple, possibly negative /
+    unreduced) -> canonical host value for ``field.constant``."""
+    p = field.characteristic()
+    if isinstance(field, PrimeField):
+        if isinstance(v, tuple):
+            raise TypeError("tuple constant for a prime field")
+        return int(v) % p
+    if isinstance(v, int):  # base-prime embedding
+        from ..fields.cubic import CubicExtField
+
+        arity = 3 if isinstance(field, CubicExtField) else 2
+        return tuple(
+            _lift_host(field.base, v if i == 0 else 0) for i in range(arity)
+        )
+    return tuple(_lift_host(field.base, c) for c in v)
+
+
 class DeviceWBMap:
     """SWU on the isogenous curve + rational isogeny map, batched."""
 
@@ -79,10 +113,11 @@ class DeviceWBMap:
         self.curve = curve
         self.F = curve.base
         self.swu = DeviceSWUMap(self.F, iso_a, iso_b, zeta)
-        self.x_num = [int(c) for c in x_num]
-        self.x_den = [int(c) for c in x_den]
-        self.y_num = [int(c) for c in y_num]
-        self.y_den = [int(c) for c in y_den]
+        lift = lambda coeffs: [_lift_host(self.F, c) for c in coeffs]
+        self.x_num = lift(x_num)
+        self.x_den = lift(x_den)
+        self.y_num = lift(y_num)
+        self.y_den = lift(y_den)
 
     def _poly_eval(self, coeffs, x):
         F = self.F
@@ -97,9 +132,13 @@ class DeviceWBMap:
         x, y = self.swu.map_to_curve(u)
         xd = self._poly_eval(self.x_den, x)
         yd = self._poly_eval(self.y_den, x)
-        inv = F.batch_inverse(F.stack([xd, yd]), axis=0)
-        xd_i = F.index(inv, 0)
-        yd_i = F.index(inv, 1)
+        if isinstance(F, PrimeField):
+            inv = F.batch_inverse(F.stack([xd, yd]), axis=0)
+            xd_i = F.index(inv, 0)
+            yd_i = F.index(inv, 1)
+        else:  # extension fields: norm-based inverse, already cheap
+            xd_i = F.inverse(xd)
+            yd_i = F.inverse(yd)
         img_x = F.mul(self._poly_eval(self.x_num, x), xd_i)
         img_y = F.mul(F.mul(self._poly_eval(self.y_num, x), y), yd_i)
         return img_x, img_y
@@ -142,3 +181,70 @@ def g1_hash_batch(messages, dst=b"QUUX-V01-CS02-with-BLS12381G1_XMD:SHA-256_SSWU
         return curve.to_affine(cleared)
 
     return run(u_arr)
+
+
+def g2_hash_batch(messages, dst=b"QUUX-V01-CS02-with-BLS12381G2_XMD:SHA-256_SSWU_RO_"):
+    """Batched BLS12-381 G2 hash: host hash_to_field, device SWU +
+    isogeny over Fq2, device psi-endomorphism cofactor clearing
+    (eprint 2017/419 §4.1; reference g2.rs:78-104 — the same chain the
+    validated host pipeline uses).
+
+    Returns the affine batch (x, y, inf) of hashed G2 points.
+    """
+    from ..curves.instances import bls12_381
+    from . import bls12_381_iso as iso
+    from .bls12_381 import PSI_X, PSI_Y
+    from .hash_to_field import hash_to_field
+
+    curve = bls12_381.g2()
+    F2 = curve.base
+    us = []
+    for msg in messages:
+        us.extend(hash_to_field(msg, dst, bls12_381.P, 2, 2))
+    n = len(us)
+    u_dev = (
+        F2.base.from_int([u[0] for u in us]),
+        F2.base.from_int([u[1] for u in us]),
+    )
+
+    wb = DeviceWBMap(
+        curve, iso.G2_ISO_A, iso.G2_ISO_B, iso.G2_ZETA,
+        iso.G2_X_MAP_NUMERATOR, iso.G2_X_MAP_DENOMINATOR,
+        iso.G2_Y_MAP_NUMERATOR, iso.G2_Y_MAP_DENOMINATOR,
+    )
+    psi_x_c = F2.constant(_lift_host(F2, PSI_X))
+    psi_y_c = F2.constant(_lift_host(F2, PSI_Y))
+
+    def psi(P):
+        """Jacobian psi: frobenius each coordinate (Fq2 conjugation),
+        scale X by PSI_X and Y by PSI_Y (untwist-frobenius-twist)."""
+        X, Y, Z = P
+        return (
+            F2.mul(F2.frobenius(X), psi_x_c),
+            F2.mul(F2.frobenius(Y), psi_y_c),
+            F2.frobenius(Z),
+        )
+
+    @jax.jit
+    def run(u):
+        x, y = wb.map_to_curve(u)
+        shape = F2.batch_shape(x)
+        inf = jnp.zeros(shape, jnp.bool_)
+        pts = curve.from_affine((x, y, inf))
+        p0 = curve.index_point(pts, slice(0, None, 2))
+        p1 = curve.index_point(pts, slice(1, None, 2))
+        P = curve.add(p0, p1)
+        # h_eff chain: [x^2-x-1]P + [x-1]psi(P) + psi^2(2P), x = -X_ABS
+        x_p = curve.neg(curve.mul_int(P, bls12_381.X_ABS))  # [x]P
+        psi_p = psi(P)
+        psi2_p2 = psi(psi(curve.double(P)))
+        tmp = curve.neg(
+            curve.mul_int(curve.add(x_p, psi_p), bls12_381.X_ABS)
+        )  # [x^2]P + [x]psi(P)
+        acc = curve.add(psi2_p2, tmp)
+        acc = curve.add(acc, curve.neg(x_p))
+        acc = curve.add(acc, curve.neg(psi_p))
+        acc = curve.add(acc, curve.neg(P))
+        return curve.to_affine(acc)
+
+    return run(u_dev)
