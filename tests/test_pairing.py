@@ -54,6 +54,33 @@ def test_bilinearity(ctx, rng):
     assert not bool(F12.is_one(_index(F12, base, 0)))
 
 
+def test_bilinearity_gt_exponent(ctx, rng):
+    """The reference's strong form e(aP, bQ) == e(P, Q)^{ab}
+    (test-templates/src/pairing.rs:10-31).  The GT exponentiation runs
+    on the HOST Fp12 tower (python big ints) against device pairing
+    outputs, so the check costs no 253-bit GT scan compile."""
+    from algebra_tpu.fields.host_tower import HostCubicExt, HostQuadExt
+
+    g1, g2 = bls12_381.g1(), bls12_381.g2()
+    F12 = ctx.fq12
+    host_fq6 = HostCubicExt(bls12_381.host_fq2, bls12_381.FQ6_NONRESIDUE)
+    v = (host_fq6.base.zero(), host_fq6.base.one(), host_fq6.base.zero())
+    host_gt = HostQuadExt(host_fq6, v)
+
+    a = rng.randrange(1, bls12_381.R)
+    b = rng.randrange(1, bls12_381.R)
+    P, Q = g1.generator_host, g2.generator_host
+    aP = g1.host_mul(P, a)
+    bQ = g2.host_mul(Q, b)
+
+    e = ctx.pairing(g1.from_host([P, aP]), g2.from_host([Q, bQ]))
+    e1, e_ab = F12.to_int(e)
+    one = host_gt.one()
+    assert not host_gt.equal(e1, one), "degenerate pairing"
+    assert host_gt.equal(host_gt.pow(e1, bls12_381.R), one), "GT order"
+    assert host_gt.equal(host_gt.pow(e1, a * b % bls12_381.R), e_ab)
+
+
 def test_pairing_with_infinity(ctx):
     g1, g2 = bls12_381.g1(), bls12_381.g2()
     F12 = ctx.fq12
