@@ -193,8 +193,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("what", nargs="?", default="all",
                     choices=["field", "ntt", "msm", "pairing", "all"])
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a JAX profiler trace (xprof/tensorboard "
+                         "format) of the benchmarked kernels into DIR")
     args = ap.parse_args()
     t0 = time.time()
+    prof_ctx = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        prof_ctx = args.profile
     if args.what in ("field", "all"):
         bench_field()
     if args.what in ("ntt", "all"):
@@ -203,6 +212,11 @@ def main():
         bench_msm()
     if args.what in ("pairing", "all"):
         bench_pairing()
+    if prof_ctx:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"# profiler trace written to {prof_ctx}", file=sys.stderr)
     print(f"# total {time.time()-t0:.1f}s", file=sys.stderr)
 
 
