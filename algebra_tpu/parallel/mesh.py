@@ -30,3 +30,25 @@ def shard_leading(mesh: Mesh, axis: str = "x") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
+
+
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """shard_map across jax versions, with replication/varying-axis
+    checking off (our kernels mix replicated tables with sharded data
+    inside lax.scan carries, which the checker rejects).
+
+    jax >= 0.8: jax.shard_map(check_vma=False); older: the experimental
+    module's check_rep=False."""
+    try:
+        from jax import shard_map as sm
+
+        try:
+            return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_vma=False)
+        except TypeError:  # pragma: no cover - future kwarg change
+            return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as sm_exp
+
+        return sm_exp(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_rep=False)

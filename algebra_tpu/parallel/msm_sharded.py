@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from .mesh import shard_map_compat
 from jax.sharding import PartitionSpec as P
 
 from ..ops import msm as msm_mod
@@ -56,13 +56,7 @@ def sharded_msm(curve, mesh, bases_aff, scalars, c=None, axis: str = "x"):
         _tree_spec(y, P()),
         _tree_spec(y, P()),
     )
-    mapped = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=spec_in,
-        out_specs=out_spec,
-        check_rep=False,
-    )
+    mapped = shard_map_compat(local, mesh, spec_in, out_spec)
     return mapped(x, y, inf, scalars)
 
 

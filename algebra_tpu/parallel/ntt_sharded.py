@@ -83,8 +83,6 @@ def sharded_fft(spec: FieldSpec, mesh, coeffs, omega: int, axis: str = "x"):
         out = jnp.swapaxes(o, 1, 2)  # [L, n1, n2/D]
         return out.reshape(L, n1 * (n2 // D))
 
-    from jax.experimental.shard_map import shard_map
-
     mat = coeffs.reshape(L, n2, n1).swapaxes(1, 2)  # [L, n1, n2]
     # per-row twiddle bases: w^(j1) for each row j1 (host table) [Ls, n1]
     from ..bigint import batch_int_to_limbs
@@ -96,12 +94,10 @@ def sharded_fft(spec: FieldSpec, mesh, coeffs, omega: int, axis: str = "x"):
         acc = (acc * omega) % p
     row_base = jnp.asarray(batch_int_to_limbs(bases, spec.n_limbs))
 
-    mapped = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis)),
-        out_specs=P(None, axis),
-        check_rep=False,
+    from .mesh import shard_map_compat
+
+    mapped = shard_map_compat(
+        local, mesh, (P(None, axis), P(None, axis)), P(None, axis)
     )
     out_blocks = mapped(mat, row_base)  # [L, n1*n2/D per device] stacked
     # out_blocks global shape [L, D * n1 * n2/D = n]; device d holds
