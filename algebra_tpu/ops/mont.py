@@ -274,8 +274,71 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    # TODO(perf): dedicated squaring saves ~half the partial products.
-    return mul(spec, a, a)
+    """Montgomery squaring with the upper-triangle trick: the schoolbook
+    columns use L(L+1)/2 limb products (off-diagonal terms doubled)
+    instead of the full L^2 outer product (reference: the interleaved
+    squaring of montgomery_backend.rs:217-293).  The Montgomery
+    reduction is identical to ``mul``'s."""
+    from .. import config
+
+    L = spec.n_limbs
+    batch = a.shape[1:]
+    if config.pallas_enabled() and int(np.prod(batch or (1,))) >= config.pallas_min_batch:
+        from . import mont_pallas
+
+        return mont_pallas.mul(spec, a, a)
+    inv = np.uint32(spec.inv16)
+    p_exp = bconst(spec.p_limbs, (1,) * len(batch))
+
+    # per-row contributions: a[i] * a[i:], off-diagonal doubled.  Columns
+    # hold sums of up to ~2L products of 15/16-bit halves — the same
+    # <2^31 bound as dot_stacked's weight-2 case.
+    cols = jnp.zeros((2 * L + 1,) + batch, dtype=_U32)
+    c_lo = jnp.zeros((2 * L - 1,) + batch, dtype=_U32)
+    c_hi = jnp.zeros((2 * L - 1,) + batch, dtype=_U32)
+    for i in range(L):
+        prod = a[i][None] * a[i:]  # [L-i, ...]
+        lo = prod & _MASK
+        hi = prod >> LIMB_BITS
+        # double the off-diagonal (j > i) terms
+        dbl = jnp.concatenate([lo[:1], lo[1:] * 2], axis=0)
+        dbl_hi = jnp.concatenate([hi[:1], hi[1:] * 2], axis=0)
+        c_lo = jax.lax.dynamic_update_slice_in_dim(
+            c_lo, jax.lax.dynamic_slice_in_dim(c_lo, 2 * i, L - i, 0) + dbl,
+            2 * i, axis=0)
+        c_hi = jax.lax.dynamic_update_slice_in_dim(
+            c_hi, jax.lax.dynamic_slice_in_dim(c_hi, 2 * i, L - i, 0) + dbl_hi,
+            2 * i, axis=0)
+    cols = cols.at[: 2 * L - 1].add(c_lo)
+    cols = cols.at[1 : 2 * L].add(c_hi)
+
+    zero1 = jnp.zeros((1,) + batch, dtype=_U32)
+    if isinstance(a, jax.core.Tracer):
+        def red_body(i, cols):
+            window = jax.lax.dynamic_slice_in_dim(cols, i, L + 1, axis=0)
+            m = ((window[0] & _MASK) * inv) & _MASK
+            mp = m[None] * p_exp
+            window = (
+                window
+                + jnp.concatenate([mp & _MASK, zero1], axis=0)
+                + jnp.concatenate([zero1, mp >> LIMB_BITS], axis=0)
+            )
+            window = window.at[1].add(window[0] >> LIMB_BITS)
+            return jax.lax.dynamic_update_slice_in_dim(cols, window, i, axis=0)
+
+        cols = jax.lax.fori_loop(0, L, red_body, cols)
+    else:
+        for i in range(L):
+            m = ((cols[i] & _MASK) * inv) & _MASK
+            mp = m[None] * p_exp
+            cols = cols.at[i : i + L].add(mp & _MASK)
+            cols = cols.at[i + 1 : i + L + 1].add(mp >> LIMB_BITS)
+            cols = cols.at[i + 1].add(cols[i] >> LIMB_BITS)
+    res, carry = _normalize(cols[L : 2 * L + 1])
+    carry = carry + res[L]
+    # same post-reduction bound as mul: (a^2 + m*p)/R < 2p — the doubled
+    # columns change the redundant representation, not the value.
+    return _cond_sub_modulus(spec, res[:L], carry)
 
 
 def to_mont(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:

@@ -34,44 +34,30 @@ _MASK = jnp.uint32(0xFFFF)
 _M16 = 0xFFFF
 
 
-def _lm_mul(spec: FieldSpec, a, b):
-    """Montgomery product over limb-major [L, N] blocks (in-register
-    column accumulation; bit-identical to ops/mont.mul).
+def _upd(cols, i, width, fn):
+    """2-D segment update via pure slice + concat (mosaic lowers these
+    natively; .at[...].set routes through scatter, which it can't)."""
+    seg = fn(cols[i : i + width])
+    parts = []
+    if i > 0:
+        parts.append(cols[:i])
+    parts.append(seg)
+    if i + width < cols.shape[0]:
+        parts.append(cols[i + width :])
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
-    Column updates are [L, N] SLICE adds on a [2L+1, N] accumulator —
-    2-D ops fill all 8 VPU sublanes, where per-column 1-D row adds would
-    run at 1/8 utilization (the dominant cost at 16-bit limb counts).
-    """
+
+def _lm_reduce(spec: FieldSpec, cols, nb):
+    """Interleaved Montgomery reduction + carry propagation of a
+    [2L+1, N] column accumulator; shared by _lm_mul and _lm_sq."""
     L = spec.n_limbs
     p_list = [int(x) for x in spec.p_limbs]
     inv = int(spec.inv16)
-    nb = a.shape[1]
     # [L, N] constant built from scalar broadcasts (pallas kernels cannot
     # capture array constants; scalar fills are fine)
     p_full = jnp.concatenate(
         [jnp.full((1, nb), pj, jnp.uint32) for pj in p_list], axis=0
     )
-    # 2-D segment updates via pure slice + concat (mosaic lowers these
-    # natively; .at[...].set routes through scatter, which it can't)
-    def _upd(cols, i, width, fn):
-        seg = fn(cols[i : i + width])
-        parts = []
-        if i > 0:
-            parts.append(cols[:i])
-        parts.append(seg)
-        if i + width < cols.shape[0]:
-            parts.append(cols[i + width :])
-        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-
-    cols = jnp.zeros((2 * L + 1, nb), jnp.uint32)
-    for i in range(L):
-        prod = a[i][None, :] * b  # [L, NB]
-
-        def acc(seg, prod=prod):
-            seg = jnp.concatenate([seg[:L] + (prod & _M16), seg[L:]], axis=0)
-            return jnp.concatenate([seg[:1], seg[1:] + (prod >> 16)], axis=0)
-
-        cols = _upd(cols, i, L + 1, acc)
     for i in range(L):
         m = ((cols[i] & _M16) * inv) & _M16
         mp = m[None, :] * p_full  # [L, NB]
@@ -94,6 +80,52 @@ def _lm_mul(spec: FieldSpec, a, b):
     carry = carry + cols[2 * L]
     res = jnp.stack(out_rows, axis=0)  # [L, NB]
     return _lm_cond_sub(spec, res, carry)
+
+
+def _lm_mul(spec: FieldSpec, a, b):
+    """Montgomery product over limb-major [L, N] blocks (in-register
+    column accumulation; bit-identical to ops/mont.mul).
+
+    Column updates are [L, N] SLICE adds on a [2L+1, N] accumulator —
+    2-D ops fill all 8 VPU sublanes, where per-column 1-D row adds would
+    run at 1/8 utilization (the dominant cost at 16-bit limb counts).
+    """
+    L = spec.n_limbs
+    nb = a.shape[1]
+    cols = jnp.zeros((2 * L + 1, nb), jnp.uint32)
+    for i in range(L):
+        prod = a[i][None, :] * b  # [L, NB]
+
+        def acc(seg, prod=prod):
+            seg = jnp.concatenate([seg[:L] + (prod & _M16), seg[L:]], axis=0)
+            return jnp.concatenate([seg[:1], seg[1:] + (prod >> 16)], axis=0)
+
+        cols = _upd(cols, i, L + 1, acc)
+    return _lm_reduce(spec, cols, nb)
+
+
+def _lm_sq(spec: FieldSpec, a):
+    """Montgomery squaring: upper-triangle columns (off-diagonal terms
+    doubled) use L(L+1)/2 limb products instead of L^2 — bit-identical
+    to _lm_mul(a, a) (same value in a different redundant column
+    representation; the reduction is shared)."""
+    L = spec.n_limbs
+    nb = a.shape[1]
+    cols = jnp.zeros((2 * L + 1, nb), jnp.uint32)
+    for i in range(L):
+        prod = a[i][None, :] * a[i:]  # [L-i, NB]
+        lo = prod & _M16
+        hi = prod >> 16
+        dbl_lo = jnp.concatenate([lo[:1], lo[1:] * 2], axis=0)
+        dbl_hi = jnp.concatenate([hi[:1], hi[1:] * 2], axis=0)
+        w = L - i
+
+        def acc(seg, dbl_lo=dbl_lo, dbl_hi=dbl_hi, w=w):
+            seg = jnp.concatenate([seg[:w] + dbl_lo, seg[w:]], axis=0)
+            return jnp.concatenate([seg[:1], seg[1:] + dbl_hi], axis=0)
+
+        cols = _upd(cols, 2 * i, w + 1, acc)
+    return _lm_reduce(spec, cols, nb)
 
 
 def _lm_cond_sub(spec: FieldSpec, res, carry):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.spec import FieldSpec
-from .mont_pallas import _lm_add, _lm_mul, _lm_sub
+from .mont_pallas import _lm_add, _lm_mul, _lm_sq, _lm_sub
 
 
 def _lm_dbl(spec, a):
@@ -36,13 +36,13 @@ def _sel(mask, a, b):
 
 def _double_lm(spec, x1, y1, z1):
     """dbl-2009-l (a = 0), limb-major."""
-    A = _lm_mul(spec, x1, x1)
-    Bv = _lm_mul(spec, y1, y1)
-    C = _lm_mul(spec, Bv, Bv)
+    A = _lm_sq(spec, x1)
+    Bv = _lm_sq(spec, y1)
+    C = _lm_sq(spec, Bv)
     t = _lm_add(spec, x1, Bv)
-    D = _lm_dbl(spec, _lm_sub(spec, _lm_sub(spec, _lm_mul(spec, t, t), A), C))
+    D = _lm_dbl(spec, _lm_sub(spec, _lm_sub(spec, _lm_sq(spec, t), A), C))
     E = _lm_add(spec, _lm_dbl(spec, A), A)
-    F = _lm_mul(spec, E, E)
+    F = _lm_sq(spec, E)
     X3 = _lm_sub(spec, F, _lm_dbl(spec, D))
     Y3 = _lm_sub(
         spec,
@@ -60,23 +60,23 @@ def _madd_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, inf2r,
     x2, y2 = x2r[...], y2r[...]
     inf2 = inf2r[...][0] != 0  # [N]
 
-    Z1Z1 = _lm_mul(spec, z1, z1)
+    Z1Z1 = _lm_sq(spec, z1)
     U2 = _lm_mul(spec, x2, Z1Z1)
     S2 = _lm_mul(spec, y2, _lm_mul(spec, z1, Z1Z1))
     H = _lm_sub(spec, U2, x1)
     r = _lm_dbl(spec, _lm_sub(spec, S2, y1))
-    HH = _lm_mul(spec, H, H)
+    HH = _lm_sq(spec, H)
     I = _lm_dbl(spec, _lm_dbl(spec, HH))
     J = _lm_mul(spec, H, I)
     V = _lm_mul(spec, x1, I)
-    X3 = _lm_sub(spec, _lm_sub(spec, _lm_mul(spec, r, r), J), _lm_dbl(spec, V))
+    X3 = _lm_sub(spec, _lm_sub(spec, _lm_sq(spec, r), J), _lm_dbl(spec, V))
     Y3 = _lm_sub(
         spec,
         _lm_mul(spec, r, _lm_sub(spec, V, X3)),
         _lm_dbl(spec, _lm_mul(spec, y1, J)),
     )
     t = _lm_add(spec, z1, H)
-    Z3 = _lm_sub(spec, _lm_sub(spec, _lm_mul(spec, t, t), Z1Z1), HH)
+    Z3 = _lm_sub(spec, _lm_sub(spec, _lm_sq(spec, t), Z1Z1), HH)
 
     Xd, Yd, Zd = _double_lm(spec, x1, y1, z1)
 
@@ -113,8 +113,8 @@ def _add_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
     x1, y1, z1 = x1r[...], y1r[...], z1r[...]
     x2, y2, z2 = x2r[...], y2r[...], z2r[...]
 
-    Z1Z1 = _lm_mul(spec, z1, z1)
-    Z2Z2 = _lm_mul(spec, z2, z2)
+    Z1Z1 = _lm_sq(spec, z1)
+    Z2Z2 = _lm_sq(spec, z2)
     U1 = _lm_mul(spec, x1, Z2Z2)
     U2 = _lm_mul(spec, x2, Z1Z1)
     S1 = _lm_mul(spec, y1, _lm_mul(spec, z2, Z2Z2))
@@ -122,10 +122,10 @@ def _add_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
     H = _lm_sub(spec, U2, U1)
     r = _lm_dbl(spec, _lm_sub(spec, S2, S1))
     H2 = _lm_dbl(spec, H)
-    I = _lm_mul(spec, H2, H2)
+    I = _lm_sq(spec, H2)
     J = _lm_mul(spec, H, I)
     V = _lm_mul(spec, U1, I)
-    X3 = _lm_sub(spec, _lm_sub(spec, _lm_mul(spec, r, r), J), _lm_dbl(spec, V))
+    X3 = _lm_sub(spec, _lm_sub(spec, _lm_sq(spec, r), J), _lm_dbl(spec, V))
     Y3 = _lm_sub(
         spec,
         _lm_mul(spec, r, _lm_sub(spec, V, X3)),
@@ -134,7 +134,7 @@ def _add_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
     zs = _lm_add(spec, z1, z2)
     Z3 = _lm_mul(
         spec,
-        _lm_sub(spec, _lm_sub(spec, _lm_mul(spec, zs, zs), Z1Z1), Z2Z2),
+        _lm_sub(spec, _lm_sub(spec, _lm_sq(spec, zs), Z1Z1), Z2Z2),
         H,
     )
 
