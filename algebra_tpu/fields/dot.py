@@ -286,16 +286,18 @@ def dot_multi(kind, groups):
             mont.expand(c, len(batch)), (L,) + tuple(batch)
         )
 
-    cols_a, cols_b = [], []
+    cols_a, cols_b, sq_mask = [], [], []
     for (g_idx, t_idx, i, j), col in sorted(
         pairs.items(), key=lambda kv: kv[1]
     ):
         fa, fb = flat[(g_idx, t_idx)]
         cols_a.append(bc(fa[i]))
         cols_b.append(bc(fb[j]))
+        sq_mask.append(fa[i] is fb[j])  # self-products use the
+        # upper-triangle squaring columns in the kernel
     A = jnp.stack(cols_a, axis=1)
     B = jnp.stack(cols_b, axis=1)
-    out = mont.dot_stacked(spec, A, B, W)  # [L, dim*n_groups, *batch]
+    out = mont.dot_stacked(spec, A, B, W, square_mask=sq_mask)
     return [
         unflatten_coords(
             kind, [out[:, g * dim + o] for o in range(dim)]

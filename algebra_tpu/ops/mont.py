@@ -452,7 +452,9 @@ def sum_of_products(spec: FieldSpec, a_list, b_list) -> jnp.ndarray:
 
         A = jnp.stack([bc(a) for a in a_list], axis=1)
         B = jnp.stack([bc(b) for b in b_list], axis=1)
-        out = dot_stacked(spec, A, B, np.ones((1, k), np.int64))
+        mask = [a is b for a, b in zip(a_list, b_list)]
+        out = dot_stacked(spec, A, B, np.ones((1, k), np.int64),
+                          square_mask=mask)
         return out[:, 0]
     acc = None
     for a, b in zip(a_list, b_list):
@@ -478,8 +480,33 @@ def dot_mass_limit(spec: FieldSpec) -> int:
     return ((1 << 31) - slack) // colmax
 
 
+def _square_pair_columns(A: jnp.ndarray):
+    """Schoolbook columns of A[k]^2 for stacked [L, S, *batch] operands
+    via the upper-triangle trick (off-diagonal doubled): L(L+1)/2 limb
+    products per pair instead of L^2.  Same per-column bound as the
+    general path (half the terms, each doubled).  Returns
+    (c_lo, c_hi): [2L-1, S, *batch]."""
+    L = A.shape[0]
+    rest = A.shape[1:]
+    c_lo = jnp.zeros((2 * L - 1,) + rest, dtype=_U32)
+    c_hi = jnp.zeros((2 * L - 1,) + rest, dtype=_U32)
+    for i in range(L):
+        prod = A[i][None] * A[i:]  # [L-i, S, *batch]
+        lo = prod & _MASK
+        hi = prod >> LIMB_BITS
+        dbl_lo = jnp.concatenate([lo[:1], lo[1:] * 2], axis=0)
+        dbl_hi = jnp.concatenate([hi[:1], hi[1:] * 2], axis=0)
+        c_lo = jax.lax.dynamic_update_slice_in_dim(
+            c_lo, jax.lax.dynamic_slice_in_dim(c_lo, 2 * i, L - i, 0) + dbl_lo,
+            2 * i, axis=0)
+        c_hi = jax.lax.dynamic_update_slice_in_dim(
+            c_hi, jax.lax.dynamic_slice_in_dim(c_hi, 2 * i, L - i, 0) + dbl_hi,
+            2 * i, axis=0)
+    return c_lo, c_hi
+
+
 def dot_stacked(spec: FieldSpec, A: jnp.ndarray, B: jnp.ndarray,
-                W) -> jnp.ndarray:
+                W, square_mask=None) -> jnp.ndarray:
     """sum_k W[o, k] * A[k] * B[k] * R^-1 mod p — ONE Montgomery reduction.
 
     The vectorized generalization of the reference's single-reduction
@@ -497,6 +524,9 @@ def dot_stacked(spec: FieldSpec, A: jnp.ndarray, B: jnp.ndarray,
     A, B: uint32[L, K, *batch] Montgomery-form elements (< p).
     W:    host int array [n_out, K] (may be negative);
           sum_k |W[o, k]| <= dot_mass_limit(spec).
+    square_mask: optional host bool[K] marking pairs whose operands are
+          the SAME value (A[k] == B[k]); those columns use the
+          upper-triangle squaring trick (~half the limb products).
     Returns uint32[L, n_out, *batch].
     """
     from ..bigint import int_to_limbs
@@ -513,6 +543,8 @@ def dot_stacked(spec: FieldSpec, A: jnp.ndarray, B: jnp.ndarray,
             f"dot weight mass {wmass} exceeds limit {dot_mass_limit(spec)}"
         )
     inv = np.uint32(spec.inv16)
+    sq_mask = (np.zeros(K, bool) if square_mask is None
+               else np.asarray(square_mask, bool))
 
     # fold negative weights into negated operands: -(a*b) == a*(p-b)
     neg_pairs = np.where((W < 0).any(axis=0))[0]
@@ -524,23 +556,34 @@ def dot_stacked(spec: FieldSpec, A: jnp.ndarray, B: jnp.ndarray,
         W_ext = np.concatenate(
             [np.maximum(W, 0), np.maximum(-W[:, neg_pairs], 0)], axis=1
         )
+        # appended copies multiply by a negated operand — never squares
+        sq_mask = np.concatenate([sq_mask, np.zeros(neg_pairs.size, bool)])
     else:
         W_ext = W
-    Ke = A.shape[1]
 
-    # schoolbook columns of every product: [2L-1, Ke, *batch]
-    P = A[:, None] * B[None, :]
-    c_lo = _antidiag_sum(P & _MASK)
-    c_hi = _antidiag_sum(P >> LIMB_BITS)
+    # schoolbook columns: triangle trick for square pairs, full outer
+    # for the rest; recombined in original column order via the weights.
+    gen_idx = np.where(~sq_mask)[0]
+    sq_idx = np.where(sq_mask)[0]
+    parts = []
+    if gen_idx.size:
+        Ag, Bg = A[:, gen_idx], B[:, gen_idx]
+        P = Ag[:, None] * Bg[None, :]
+        parts.append((gen_idx, _antidiag_sum(P & _MASK),
+                      _antidiag_sum(P >> LIMB_BITS)))
+    if sq_idx.size:
+        lo, hi = _square_pair_columns(A[:, sq_idx])
+        parts.append((sq_idx, lo, hi))
 
     # weighted combine in uint32 column space (bounded by wmass * colmax)
-    Wj = jnp.asarray(W_ext.astype(np.uint32))
-    s_lo = jnp.einsum("ok,lk...->lo...", Wj, c_lo)
-    s_hi = jnp.einsum("ok,lk...->lo...", Wj, c_hi)
     ncols = 2 * L + 1
     cols = jnp.zeros((ncols, n_out) + batch, dtype=_U32)
-    cols = cols.at[: 2 * L - 1].add(s_lo)
-    cols = cols.at[1 : 2 * L].add(s_hi)
+    for idx, c_lo, c_hi in parts:
+        Wj = jnp.asarray(W_ext[:, idx].astype(np.uint32))
+        s_lo = jnp.einsum("ok,lk...->lo...", Wj, c_lo)
+        s_hi = jnp.einsum("ok,lk...->lo...", Wj, c_hi)
+        cols = cols.at[: 2 * L - 1].add(s_lo)
+        cols = cols.at[1 : 2 * L].add(s_hi)
 
     # interleaved Montgomery reduction (same shape as mul's loop)
     p_exp = bconst(spec.p_limbs, (1,) * (cols.ndim - 1))
