@@ -357,11 +357,14 @@ def from_mont(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def pow_fixed(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
-    """a^e for a host-constant exponent, via an on-device bit scan.
+    """a^e for a host-constant exponent, via an on-device windowed scan.
 
-    Square-and-multiply MSB-first (reference: ff/src/fields/mod.rs:280-291),
-    expressed as a lax.scan so the compiled program stays small even for
-    field-sized exponents.
+    4-bit fixed windows (vs the reference's bit-at-a-time
+    ff/src/fields/mod.rs:280-291): per window the scan body does 4
+    squarings + ONE table-gather multiply, so a field-sized exponent
+    costs ~nbits squarings + nbits/4 multiplies instead of ~nbits/2
+    data-dependent multiplies.  The 16-entry power table is a stacked
+    leading axis; the traced digit indexes it with one dynamic gather.
     """
     e = int(e)
     if e < 0:
@@ -370,25 +373,50 @@ def pow_fixed(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     if e == 0:
         return one
     nbits = e.bit_length()
-    if nbits <= 4:  # tiny exponents: unroll
+    if nbits <= 8:  # tiny exponents: unrolled square-and-multiply
         res = one
         for bit in bin(e)[2:]:
             res = square(spec, res)
             if bit == "1":
                 res = mul(spec, res, a)
         return res
-    bits = jnp.asarray(
-        [(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.bool_
-    )
 
-    def body(res, bit):
-        res = square(spec, res)
-        res = select(
-            jnp.broadcast_to(bit, res.shape[1:]), mul(spec, res, a), res
+    if int(np.prod(a.shape[1:] or (1,))) >= (1 << 16):
+        # huge batches: the 16-entry table would cost 16x the array in
+        # HBM; branchless bit-at-a-time costs memory-neutral
+        bits = jnp.asarray(
+            [(e >> (nbits - 1 - i)) & 1 for i in range(nbits)],
+            dtype=jnp.bool_,
         )
-        return res, None
 
-    res, _ = jax.lax.scan(body, one, bits)
+        def bit_body(res, bit):
+            res = square(spec, res)
+            res = select(
+                jnp.broadcast_to(bit, res.shape[1:]), mul(spec, res, a), res
+            )
+            return res, None
+
+        res, _ = jax.lax.scan(bit_body, one, bits)
+        return res
+
+    w = 4
+    n_dig = -(-nbits // w)
+    digits = [(e >> (w * (n_dig - 1 - i))) & ((1 << w) - 1)
+              for i in range(n_dig)]  # MSB-first
+    table = [one, jnp.broadcast_to(a, one.shape)]
+    for _ in range(2, 1 << w):
+        table.append(mul(spec, table[-1], a))
+    T = jnp.stack(table, axis=0)  # [16, L, *batch]
+
+    def body(res, d):
+        for _ in range(w):
+            res = square(spec, res)
+        return mul(spec, res, T[d]), None
+
+    first = T[digits[0]]
+    res, _ = jax.lax.scan(
+        body, first, jnp.asarray(digits[1:], dtype=jnp.int32)
+    )
     return res
 
 
