@@ -224,15 +224,36 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
     # single lockstep loop would burn max-occupancy rounds on ALL windows;
     # instead: lockstep rounds over every window up to the FULL-window max,
     # then continue the top window alone on a [1, B] slice.
+    #
+    # Within the full windows the bucket occupancies are ~Poisson(n/B):
+    # the max is mean + O(sqrt(mean * log WB)), so lockstep-to-max wastes
+    # ~30% of rounds on a tail that touches <2% of buckets.  The lockstep
+    # loop therefore stops at the K-th largest count (guaranteeing <= K-1
+    # unfinished buckets), and a COMPACTED [K]-wide loop drains the tail.
     zero_pt = curve.zero((num_windows, n_buckets))
     is_neg_b = jnp.broadcast_to(is_neg, (num_windows, n))
-    rounds_full = jnp.max(counts[:-1]) if num_windows > 1 else jnp.max(counts)
+    counts_f = (counts[:-1] if num_windows > 1 else counts).reshape(-1)
+    rounds_max = jnp.max(counts_f)
+    W_full = num_windows - 1 if num_windows > 1 else num_windows
+    WB = W_full * n_buckets
+    K = min(max(64, WB // 16), WB)
+    compact_tail = WB > 2 * K  # tiny problems: lockstep to the max
+    if compact_tail:
+        sorted_c = jnp.sort(counts_f)
+        rounds_full = sorted_c[WB - K]
+    else:
+        rounds_full = rounds_max
     buckets = jax.lax.fori_loop(
         0,
         rounds_full,
         make_round_body(order, start, counts, is_neg_b),
         zero_pt,
     )
+    if compact_tail:
+        buckets = _drain_bucket_tail(
+            curve, B, buckets, counts_f, rounds_full, rounds_max, order,
+            start, is_neg_b, x_row, y_row, W_full, n_buckets, n, K,
+        )
     if num_windows > 1:
         rounds_top = jnp.max(counts[-1])
         top = curve.index_point(buckets, slice(num_windows - 1, None))
@@ -277,6 +298,50 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
 
     total, _ = jax.lax.scan(fold, curve.zero(()), wsums_scan)
     return total
+
+
+def _drain_bucket_tail(curve, base, buckets, counts_f, r0, r1, order, start,
+                       is_neg_b, x_row, y_row, W_full, n_buckets, n, K):
+    """Finish the <= K-1 overfull (window, bucket) pairs the capped
+    lockstep loop left behind, on a COMPACTED [K]-wide batch: gather the
+    surviving accumulators, run rounds [r0, r1), scatter them back.
+    Entries picked only to pad K out no-op via the valid mask."""
+    surv = jnp.argsort(-counts_f)[:K]  # flat w * n_buckets + b
+    w_idx = surv // n_buckets
+    start_c = start[:W_full].reshape(-1)[surv]
+    counts_c = counts_f[surv]
+    order_flat = order[:W_full].reshape(-1)  # [W_full * n]
+    isneg_flat = is_neg_b[:W_full].reshape(-1)
+
+    compact = tuple(
+        jax.tree_util.tree_map(
+            lambda a: a.reshape(a.shape[0], -1)[:, surv], coord
+        )
+        for coord in buckets
+    )
+
+    def body(r, acc):
+        pos = jnp.clip(start_c + r, 0, n - 1)
+        valid = r < counts_c
+        idxp = order_flat[w_idx * n + pos]  # point indices [K]
+        gx = _row_take(x_row, idxp)
+        gy = _row_take(y_row, idxp)
+        gneg = isneg_flat[w_idx * n + idxp]
+        gy2 = base.select(gneg, base.neg(gy), gy)
+        return curve.add_mixed(acc, (gx, gy2, jnp.logical_not(valid)))
+
+    compact = jax.lax.fori_loop(r0, r1, body, compact)
+    return tuple(
+        jax.tree_util.tree_map(
+            lambda a, c: a.reshape(a.shape[0], -1)
+            .at[:, surv]
+            .set(c)
+            .reshape(a.shape),
+            coord,
+            comp,
+        )
+        for coord, comp in zip(buckets, compact)
+    )
 
 
 def _hs_suffix_scan(curve, P, B: int):
