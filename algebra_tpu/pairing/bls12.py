@@ -73,6 +73,70 @@ class Bls12(PairingEngine):
         skip = jnp.logical_or(p_inf, q_inf)
         return F12.select(skip, F12.one(shape), f)
 
+    # ------------------------------------------------------------ prepared G2
+    def prepare_g2(self, q_aff):
+        """G2Prepared: run the line-coefficient recurrence once and stack
+        the per-step coefficients (the reference's ``G2Prepared::from``,
+        bls12/g2.rs:54-81), for reuse across many Miller loops with the
+        same Q (e.g. fixed verification keys).  Returns an opaque
+        (coeffs_dbl, coeffs_add, q_inf) pytree whose leading leaf axis is
+        the loop step."""
+        import jax
+
+        F2 = self.fq2
+        qx, qy, q_inf = q_aff
+        shape = self.fq.batch_shape(jax.tree_util.tree_leaves(qx)[0])
+
+        r0 = (qx, qy, F2.one(shape))
+        bits = jnp.asarray(
+            [b == "1" for b in bin(self.x_abs)[2:][1:]], dtype=jnp.bool_
+        )
+
+        def sel_pt(mask, a, b):
+            return tuple(F2.select(mask, x, y) for x, y in zip(a, b))
+
+        def body(r, bit):
+            r, c_dbl = self._double_step(r, shape)
+            r_add, c_add = self._add_step(r, (qx, qy))
+            m = jnp.broadcast_to(bit, shape)
+            r = sel_pt(m, r_add, r)
+            return r, (c_dbl, c_add)
+
+        _, coeffs = jax.lax.scan(body, r0, bits)
+        return (coeffs[0], coeffs[1], q_inf)
+
+    def miller_loop_prepared(self, p_aff, prepared):
+        """Miller loop from precomputed line coefficients — identical
+        output to ``miller_loop`` (bls12/mod.rs:46-86 consuming
+        ``G2Prepared.ell_coeffs``), with only the two sparse line
+        multiplications per step."""
+        import jax
+
+        F12 = self.fq12
+        px, py, p_inf = p_aff
+        coeffs_dbl, coeffs_add, q_inf = prepared
+        shape = self.fq.batch_shape(px)
+        bits = jnp.asarray(
+            [b == "1" for b in bin(self.x_abs)[2:][1:]], dtype=jnp.bool_
+        )
+
+        def body(f, step):
+            c_dbl, c_add, bit = step
+            f = F12.square(f)
+            f = self._ell(f, c_dbl, px, py)
+            f_add = self._ell(f, c_add, px, py)
+            m = jnp.broadcast_to(bit, shape)
+            f = F12.select(m, f_add, f)
+            return f, None
+
+        f, _ = jax.lax.scan(
+            body, F12.one(shape), (coeffs_dbl, coeffs_add, bits)
+        )
+        if self.x_is_negative:
+            f = F12.cyclotomic_inverse(f)
+        skip = jnp.logical_or(p_inf, q_inf)
+        return F12.select(skip, F12.one(shape), f)
+
     # ----------------------------------------------------- final exponentiation
     def _exp_by_x(self, f):
         r = self.fq12.cyclotomic_exp(f, self.x_abs)

@@ -106,3 +106,25 @@ def test_multi_pairing_inverse_product(ctx, rng):
 
     multi = ctx.multi_pairing(g1.from_host([P, negP]), g2.from_host([Q, Q]))
     assert bool(F12.is_one(multi))
+
+
+def test_prepared_miller_loop_matches(ctx):
+    """prepare_g2 + miller_loop_prepared == the fused miller_loop
+    (G2Prepared parity, bls12/g2.rs:54-81), incl. infinity lanes."""
+    import jax
+    import numpy as np
+
+    g1, g2 = bls12_381.g1(), bls12_381.g2()
+    P = g1.from_host(
+        [g1.generator_host, g1.host_mul(g1.generator_host, 5), None]
+    )
+    Q = g2.from_host(
+        [g2.host_mul(g2.generator_host, 7), g2.generator_host,
+         g2.generator_host]
+    )
+    f_ref = ctx.miller_loop(P, Q)
+    f_new = ctx.miller_loop_prepared(P, ctx.prepare_g2(Q))
+    for u, v in zip(
+        jax.tree_util.tree_leaves(f_ref), jax.tree_util.tree_leaves(f_new)
+    ):
+        assert np.array_equal(np.asarray(u), np.asarray(v))
