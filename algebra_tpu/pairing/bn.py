@@ -99,6 +99,81 @@ class Bn(PairingEngine):
         skip = jnp.logical_or(p_inf, q_inf)
         return F12.select(skip, F12.one(shape), f)
 
+    # ------------------------------------------------------------ prepared G2
+    def prepare_g2(self, q_aff):
+        """G2Prepared for the BN schedule: the per-digit line
+        coefficients plus the two Frobenius-twisted tail steps
+        (bn/g2.rs ell_coeffs).  Opaque pytree for
+        ``miller_loop_prepared``."""
+        import jax
+
+        F2 = self.fq2
+        qx, qy, q_inf = q_aff
+        shape = self.fq.batch_shape(jax.tree_util.tree_leaves(qx)[0])
+
+        r0 = (qx, qy, F2.one(shape))
+        ate = self.ate_loop_count
+        n = len(ate)
+        digits = jnp.asarray(
+            [ate[n - 1 - j - 1] for j in range(n - 1)], dtype=jnp.int8
+        )
+
+        def sel_pt(mask, a, b):
+            return tuple(F2.select(mask, x, y) for x, y in zip(a, b))
+
+        def body(r, d):
+            r, c_dbl = self._double_step(r, shape)
+            neg_mask = jnp.broadcast_to(d == -1, shape)
+            q_sel = (qx, F2.select(neg_mask, F2.neg(qy), qy))
+            r_add, c_add = self._add_step(r, q_sel)
+            m = jnp.broadcast_to(d != 0, shape)
+            r = sel_pt(m, r_add, r)
+            return r, (c_dbl, c_add)
+
+        r, coeffs = jax.lax.scan(body, r0, digits)
+        if self.x_is_negative:
+            r = (r[0], F2.neg(r[1]), r[2])
+        q1 = self._mul_by_char((qx, qy), shape)
+        q2 = self._mul_by_char(q1, shape)
+        q2 = (q2[0], F2.neg(q2[1]))
+        r, c1 = self._add_step(r, q1)
+        _, c2 = self._add_step(r, q2)
+        return (coeffs[0], coeffs[1], c1, c2, q_inf)
+
+    def miller_loop_prepared(self, p_aff, prepared):
+        """Optimal-ate loop from precomputed coefficients — identical
+        output to ``miller_loop``."""
+        import jax
+
+        F12 = self.fq12
+        px, py, p_inf = p_aff
+        coeffs_dbl, coeffs_add, c1, c2, q_inf = prepared
+        shape = self.fq.batch_shape(px)
+        ate = self.ate_loop_count
+        n = len(ate)
+        digits = jnp.asarray(
+            [ate[n - 1 - j - 1] for j in range(n - 1)], dtype=jnp.int8
+        )
+
+        def body(f, step):
+            c_dbl, c_add, d = step
+            f = F12.square(f)
+            f = self._ell(f, c_dbl, px, py)
+            f_add = self._ell(f, c_add, px, py)
+            m = jnp.broadcast_to(d != 0, shape)
+            f = F12.select(m, f_add, f)
+            return f, None
+
+        f, _ = jax.lax.scan(
+            body, F12.one(shape), (coeffs_dbl, coeffs_add, digits)
+        )
+        if self.x_is_negative:
+            f = F12.cyclotomic_inverse(f)
+        f = self._ell(f, c1, px, py)
+        f = self._ell(f, c2, px, py)
+        skip = jnp.logical_or(p_inf, q_inf)
+        return F12.select(skip, F12.one(shape), f)
+
     # ----------------------------------------------------- final exponentiation
     def _exp_by_neg_x(self, f):
         r = self.fq12.cyclotomic_exp(f, self.x_abs)

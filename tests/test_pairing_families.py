@@ -110,3 +110,28 @@ def test_mnt6_toy_pairing_with_infinity():
     P, Q = g1.generator_host, g2.generator_host
     f = ctx.miller_loop(g1.from_host([None, P]), g2.from_host([Q, None]))
     assert bool(F6.equal(f, F6.one((2,))).all())
+
+
+def test_bn254_prepared_miller_loop_matches():
+    """BN G2Prepared: prepare_g2 + miller_loop_prepared == the fused
+    miller_loop (bn/g2.rs ell_coeffs reuse), incl. infinity lanes."""
+    import jax
+    import numpy as np
+
+    from algebra_tpu.curves.instances import bn254
+
+    ctx = bn254.pairing()
+    g1, g2 = bn254.g1(), bn254.g2()
+    P = g1.from_host(
+        [g1.generator_host, g1.host_mul(g1.generator_host, 3), None]
+    )
+    Q = g2.from_host(
+        [g2.host_mul(g2.generator_host, 11), g2.generator_host,
+         g2.generator_host]
+    )
+    f_ref = ctx.miller_loop(P, Q)
+    f_new = ctx.miller_loop_prepared(P, ctx.prepare_g2(Q))
+    for u, v in zip(
+        jax.tree_util.tree_leaves(f_ref), jax.tree_util.tree_leaves(f_new)
+    ):
+        assert np.array_equal(np.asarray(u), np.asarray(v))
