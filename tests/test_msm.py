@@ -69,3 +69,35 @@ def test_signed_digits_reconstruct(rng):
     for j, k in enumerate(scalars):
         recon = sum(int(digits[w, j]) << (c * w) for w in range(nw))
         assert recon == k, f"scalar {j}"
+
+
+def test_msm_single_hot_bucket(rng):
+    """All-equal scalars put every point into ONE bucket per window —
+    the maximal Poisson-tail case for the capped lockstep + compacted
+    drain loop (ops/msm.py _drain_bucket_tail)."""
+    import jax.numpy as jnp
+
+    from algebra_tpu.bigint import batch_int_to_limbs
+    from algebra_tpu.curves.instances import bls12_381
+    from algebra_tpu.ops.msm import msm
+
+    curve = bls12_381.g1()
+    n = 256
+    base_pts = curve.random_host(rng, 16)
+    pts = [base_pts[i % 16] for i in range(n)]
+    aff16 = curve.from_host(base_pts)
+    reps = n // 16
+    aff = (
+        jnp.tile(aff16[0], (1, reps)),
+        jnp.tile(aff16[1], (1, reps)),
+        jnp.tile(aff16[2], reps),
+    )
+    k = rng.randrange(1, curve.scalar_modulus)
+    Ls = -(-curve.scalar_modulus.bit_length() // 16)
+    sc = jnp.asarray(batch_int_to_limbs([k] * n, Ls))
+    out = curve.to_host(msm(curve, aff, sc))
+    want = None
+    for pt in pts:
+        want = curve.host_add(want, pt)
+    want = curve.host_mul(want, k)
+    assert out == want
