@@ -116,9 +116,12 @@ def _lm_sq(spec: FieldSpec, a):
         prod = a[i][None, :] * a[i:]  # [L-i, NB]
         lo = prod & _M16
         hi = prod >> 16
-        dbl_lo = jnp.concatenate([lo[:1], lo[1:] * 2], axis=0)
-        dbl_hi = jnp.concatenate([hi[:1], hi[1:] * 2], axis=0)
         w = L - i
+        if w == 1:  # mosaic rejects zero-length slices
+            dbl_lo, dbl_hi = lo, hi
+        else:
+            dbl_lo = jnp.concatenate([lo[:1], lo[1:] * 2], axis=0)
+            dbl_hi = jnp.concatenate([hi[:1], hi[1:] * 2], axis=0)
 
         def acc(seg, dbl_lo=dbl_lo, dbl_hi=dbl_hi, w=w):
             seg = jnp.concatenate([seg[:w] + dbl_lo, seg[w:]], axis=0)
