@@ -53,17 +53,24 @@ def default_window_size(n: int) -> int:
 
 
 def signed_digits(scalars: jnp.ndarray, c: int, num_windows: int,
-                  last_unsigned: bool = False) -> jnp.ndarray:
+                  last_unsigned: bool = False, w_start: int = 0,
+                  w_end: int | None = None) -> jnp.ndarray:
     """Signed base-2^c digits of canonical limb scalars.
 
     scalars: uint32[Ls, n] (16-bit limbs, limb-major, little-endian).
-    Returns int32[num_windows, n] with digits in [-2^(c-1), 2^(c-1)].
+    Returns int32[w_end - w_start, n] with digits in [-2^(c-1), 2^(c-1)].
     Vectorized equivalent of make_digits (variable_base/mod.rs:249-288).
 
     With ``last_unsigned`` the final window keeps its raw value + carry
     (no recentering, so no extra carry window); the caller guarantees
     that value fits 2^(c-1) (scalar_bits - c*(W-1) <= c-1).
+
+    ``w_start``/``w_end`` restrict the materialized output to a window
+    range — earlier windows run carry-only, so peak memory is
+    O(n * (w_end - w_start)) instead of O(n * num_windows).
     """
+    if w_end is None:
+        w_end = num_windows
     L, n = scalars.shape
     zero_row = jnp.zeros((1, n), jnp.uint32)
     padded = jnp.concatenate([scalars, zero_row], axis=0)
@@ -71,7 +78,7 @@ def signed_digits(scalars: jnp.ndarray, c: int, num_windows: int,
     carry = jnp.zeros((n,), jnp.uint32)
     half = jnp.uint32(1 << (c - 1))
     full = jnp.int32(1 << c)
-    for w in range(num_windows):
+    for w in range(w_end):
         lo = w * c
         k, off = lo // 16, lo % 16
         if k >= L:
@@ -84,11 +91,13 @@ def signed_digits(scalars: jnp.ndarray, c: int, num_windows: int,
             raw = (lo_bits | hi_bits) & jnp.uint32((1 << c) - 1)
         d = raw + carry
         if last_unsigned and w == num_windows - 1:
-            digits.append(d.astype(jnp.int32))
+            if w >= w_start:
+                digits.append(d.astype(jnp.int32))
             continue
         carry = (d + half) >> c  # 1 iff d >= 2^(c-1)
-        digit = d.astype(jnp.int32) - carry.astype(jnp.int32) * full
-        digits.append(digit)
+        if w >= w_start:
+            digit = d.astype(jnp.int32) - carry.astype(jnp.int32) * full
+            digits.append(digit)
     return jnp.stack(digits, axis=0)
 
 
@@ -178,28 +187,40 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
             num_windows += 1  # keep the unsigned top window in range
     n_buckets = 1 << (c - 1)
 
-    digits = signed_digits(scalars, c, num_windows, last_unsigned=True)
-    mags = jnp.abs(digits).astype(jnp.uint32)  # 0..2^(c-1)
-    is_neg = digits < 0
-
-    # bucket key: magnitude-1 for active points; inactive (digit 0 or
-    # point at infinity) get key = n_buckets and sort to the end.
-    key = jnp.where(
-        jnp.logical_or(mags == 0, inf[None, :]),
-        jnp.uint32(n_buckets),
-        mags - 1,
-    )  # [W, n]
-    order = jnp.argsort(key, axis=1)  # [W, n]
-    sorted_key = jnp.take_along_axis(key, order, axis=1)
-
+    # Recode + sort in window GROUPS so the transient per-window arrays
+    # (digits, keys, argsort workspace) peak at O(group * n), not
+    # O(W * n) — at 2^24 points the all-windows transients alone exceed
+    # HBM.  Only `order` (the gather permutation) and `is_neg` persist
+    # for all windows.
+    group = max(1, min(num_windows, (1 << 26) // max(n, 1)))
     bucket_ids = jnp.arange(n_buckets, dtype=jnp.uint32)  # [B]
-    start = jax.vmap(
-        lambda row: jnp.searchsorted(row, bucket_ids, side="left")
-    )(sorted_key)  # [W, B]
-    end = jax.vmap(
-        lambda row: jnp.searchsorted(row, bucket_ids, side="right")
-    )(sorted_key)
-    counts = (end - start).astype(jnp.int32)  # [W, B]
+    order_parts, isneg_parts, start_parts, count_parts = [], [], [], []
+    for g0 in range(0, num_windows, group):
+        g1 = min(g0 + group, num_windows)
+        digits = signed_digits(scalars, c, num_windows, last_unsigned=True,
+                               w_start=g0, w_end=g1)
+        mags = jnp.abs(digits).astype(jnp.uint32)  # 0..2^(c-1)
+        isneg_parts.append(digits < 0)
+        # bucket key: magnitude-1 for active points; inactive (digit 0
+        # or point at infinity) get key = n_buckets, sorting to the end.
+        key = jnp.where(
+            jnp.logical_or(mags == 0, inf[None, :]),
+            jnp.uint32(n_buckets),
+            mags - 1,
+        )  # [g, n]
+        order_g = jnp.argsort(key, axis=1).astype(jnp.uint32)  # [g, n]
+        sorted_key = jnp.take_along_axis(key, order_g, axis=1)
+        order_parts.append(order_g)
+        start_parts.append(jax.vmap(
+            lambda row: jnp.searchsorted(row, bucket_ids, side="left")
+        )(sorted_key))
+        count_parts.append(jax.vmap(
+            lambda row: jnp.searchsorted(row, bucket_ids, side="right")
+        )(sorted_key) - start_parts[-1])
+    order = jnp.concatenate(order_parts, axis=0)  # [W, n]
+    is_neg = jnp.concatenate(isneg_parts, axis=0)
+    start = jnp.concatenate(start_parts, axis=0)  # [W, B]
+    counts = jnp.concatenate(count_parts, axis=0).astype(jnp.int32)
 
     x_row = _tree_rowmajor(x)
     y_row = _tree_rowmajor(y)
@@ -274,13 +295,12 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
             for coord_full, coord_top in zip(buckets, top)
         )
 
-    # weighted bucket reduction: sum_m m*S_m = sum_k suffix_k.
-    # Hillis–Steele suffix scans keep the batch shape FIXED at [W, B]
-    # every step, so the whole reduction reuses ONE compiled add kernel
-    # (a halving tree would compile log B distinct shapes).
-    suffix = _hs_suffix_scan(curve, buckets, n_buckets)
-    summed = _hs_suffix_scan(curve, suffix, n_buckets)  # T_k = sum_{j>=k}
-    window_sums = curve.index_point(summed, (slice(None), 0))  # [W]
+    # weighted bucket reduction: sum_k (k+1) * S_k via a pairwise merge
+    # tree — ~5*B*W lane-adds total (halving widths) instead of the
+    # Hillis–Steele double-suffix-scan's 2*B*log2(B)*W, which dominated
+    # whole-MSM time at c = 16 (B = 32768).  Costs log2(B) distinct
+    # compiled add shapes; B is small in the CPU test/dryrun configs.
+    window_sums = _weighted_tree_reduce(curve, buckets)  # [W]
 
     # Horner fold over windows, most significant first, as a scan
     # (unrolling W * c doublings made the XLA graph enormous).
@@ -342,6 +362,52 @@ def _drain_bucket_tail(curve, base, buckets, counts_f, r0, r1, order, start,
         )
         for coord, comp in zip(buckets, compact)
     )
+
+
+def _weighted_tree_reduce(curve, P):
+    """Weighted bucket reduction  sum_k (k+1) * S_k  along the last
+    batch axis of a [W, B] bucket array (B a power of two), as a
+    pairwise merge tree.
+
+    Each node carries (T, Wt, U) for its bucket segment: T = plain sum,
+    Wt = sum of locally-0-based-weighted points, U = h * T with h the
+    segment size.  Merging left+right (size h each):
+        Wt' = Wt_L + Wt_R + U_R        (right half's weights shift by h)
+        T'  = T_L + T_R
+        U'  = 2h * T' = double(U_L + U_R)
+    Total work ~ (4 adds + 1 dbl) * W * (B/2 + B/4 + ...) ~ 5*W*B
+    lane-ops in geometrically shrinking widths — the serial-equivalent
+    of the reference's suffix loop (variable_base/mod.rs:124-130).
+    Returns the [W] window sums  Wt_final + T_final.
+    """
+
+    def split(Q):
+        even = tuple(
+            jax.tree_util.tree_map(lambda a: a[..., 0::2], coord) for coord in Q
+        )
+        odd = tuple(
+            jax.tree_util.tree_map(lambda a: a[..., 1::2], coord) for coord in Q
+        )
+        return even, odd
+
+    B = jax.tree_util.tree_leaves(P)[0].shape[-1]
+    if B == 1:
+        return curve.index_point(P, (slice(None), 0))
+    # first merge specialized: leaf Wt = 0 and U = S, so
+    # Wt1 = S_odd, T1 = S_even + S_odd, U1 = double(T1).
+    even, odd = split(P)
+    Wt = odd
+    T = curve.add(even, odd)
+    U = curve.double(T)
+    width = B // 2
+    while width > 1:
+        (Te, To), (We, Wo), (Ue, Uo) = split(T), split(Wt), split(U)
+        Wt = curve.add(curve.add(We, Wo), Uo)
+        T = curve.add(Te, To)
+        U = curve.double(curve.add(Ue, Uo))
+        width //= 2
+    total = curve.add(Wt, T)
+    return curve.index_point(total, (slice(None), 0))
 
 
 def _hs_suffix_scan(curve, P, B: int):
