@@ -10,6 +10,20 @@ use_pallas: bool | None = None
 # padding/launch overhead; below this the fused-XLA path wins.
 pallas_min_batch: int = 4096
 
+# MSM bucket accumulation strategy: the sorted-segment affine pairwise
+# tree (batched chord/tangent adds with amortized blocked inversion,
+# ~7 field muls per point) vs the lockstep Jacobian mixed-add rounds
+# (~19 muls per point).  None = auto: tree on TPU (where the curve kind
+# provides `affine_add`), lockstep on CPU — the tree's per-level batched
+# inversions make XLA:CPU test compiles ~8x slower.
+msm_affine_tree: bool | None = None
+
+
+def msm_affine_tree_enabled() -> bool:
+    if msm_affine_tree is not None:
+        return bool(msm_affine_tree)
+    return pallas_enabled()
+
 
 def pallas_enabled() -> bool:
     if use_pallas is not None:

@@ -353,6 +353,47 @@ class SWCurve:
     def sub(self, P, Q):
         return self.add(P, self.neg(Q))
 
+    def affine_add(self, P, Q, inv_fn):
+        """Branchless affine + affine -> affine addition.
+
+        ``inv_fn`` supplies batched field inversion (amortized to ~3
+        muls/lane by ops/mont_pallas.batch_inverse), making this ~7
+        field muls per lane vs ~19 for the branchless Jacobian mixed
+        add — the MSM affine bucket phase's core op.  Chord/tangent
+        formulas (the same affine law the reference uses on host,
+        short_weierstrass/affine.rs); all exceptional cases selected:
+          P or Q at infinity -> other;  x1 == x2, y1 == y2 != 0 ->
+          tangent (doubling);  x1 == x2 otherwise -> infinity.
+        """
+        B = self.base
+        x1, y1, i1 = P
+        x2, y2, i2 = Q
+        d = B.sub(x2, x1)
+        same_x = B.is_zero(d)
+        y_eq = B.equal(y1, y2)
+        y1_zero = B.is_zero(y1)
+        dbl = jnp.logical_and(same_x, jnp.logical_and(y_eq,
+                                                      jnp.logical_not(y1_zero)))
+        opp = jnp.logical_and(same_x, jnp.logical_not(dbl))
+        x1sq = B.square(x1)
+        three_x1sq = B.add(B.add(x1sq, x1sq), x1sq)
+        if not self.a_is_zero:
+            three_x1sq = B.add(
+                three_x1sq, B.constant(self.a_host, B.batch_shape(x1))
+            )
+        num = B.select(dbl, three_x1sq, B.sub(y2, y1))
+        denom = B.select(dbl, B.add(y1, y1), d)
+        degenerate = jnp.logical_or(jnp.logical_or(i1, i2), opp)
+        shape = B.batch_shape(x1)
+        denom = B.select(degenerate, B.one(shape), denom)
+        lam = B.mul(num, inv_fn(denom))
+        x3 = B.sub(B.sub(B.square(lam), x1), x2)
+        y3 = B.sub(B.mul(lam, B.sub(x1, x3)), y1)
+        x3 = B.select(i1, x2, B.select(i2, x1, x3))
+        y3 = B.select(i1, y2, B.select(i2, y1, y3))
+        inf3 = jnp.where(i1, i2, jnp.where(i2, i1, opp))
+        return (x3, y3, inf3)
+
     # ------------------------------------------------------- representation
     def from_affine(self, aff):
         """(x, y, inf) -> Jacobian; infinity maps to (1,1,0)."""

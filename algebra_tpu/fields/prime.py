@@ -58,6 +58,20 @@ class PrimeField(Field):
         return mont.square(self.spec, a)
 
     def inverse(self, a):
+        """Inverse; 0 -> 0.  Large TPU batches amortize through the
+        blocked Montgomery-trick kernel (~3 muls/lane,
+        ops/mont_pallas.batch_inverse); otherwise a per-lane Fermat
+        ladder.  Both produce the unique canonical inverse."""
+        import numpy as np
+
+        from .. import config
+
+        batch = a.shape[1:]
+        nb = int(np.prod(batch)) if batch else 1
+        if config.pallas_enabled() and nb >= config.pallas_min_batch:
+            from ..ops import mont_pallas
+
+            return mont_pallas.batch_inverse(self.spec, a)
         return mont.inv(self.spec, a)
 
     def batch_inverse(self, a, axis=0):

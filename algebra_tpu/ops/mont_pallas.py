@@ -189,6 +189,185 @@ def _mul_kernel(spec: FieldSpec, a_ref, b_ref, o_ref):
     o_ref[...] = _lm_mul(spec, a_ref[...], b_ref[...])
 
 
+# --------------------------------------------------------------------------
+# hierarchical batched inversion (Montgomery's trick, blocked)
+#
+# The associative-scan formulation in ops/mont.batch_inverse costs
+# ~2*log2(N) muls per lane; the MSM affine bucket phase needs ~3.  Here a
+# block of G*128 lanes is viewed as [G, 128]: an in-kernel sequential
+# product down the G rows leaves 128 column products per block ("tails"),
+# the tails array recurses until one 128-lane row remains, that row is
+# inverted by an in-kernel Fermat ladder, and backward passes unwind the
+# per-row inverses (2 muls/row).  Total ~(3 + 3/G) muls per lane and a
+# few kernel launches per level.
+# --------------------------------------------------------------------------
+
+
+def _prefix_kernel(spec: FieldSpec, G: int, R: int, a_ref, pref_ref, tail_ref):
+    """Sequential products down the G sublane-groups of one block.
+
+    a: [L, G*R] seen as G rows of R lanes.  pref[i] = prod(a[0..i]);
+    tail = pref[G-1]."""
+    a = a_ref[...]
+    p = a[:, :R]
+    pref_ref[:, :R] = p
+    for i in range(1, G):
+        p = _lm_mul(spec, p, a[:, i * R : (i + 1) * R])
+        pref_ref[:, i * R : (i + 1) * R] = p
+    tail_ref[...] = p
+
+
+def _backward_kernel(spec: FieldSpec, G: int, R: int, a_ref, pref_ref,
+                     tinv_ref, o_ref):
+    """Unwind per-row inverses from the block-tail inverse.
+
+    running = inv(prod all rows); for i = G-1..1:
+    out[i] = running * pref[i-1]; running *= a[i]; out[0] = running."""
+    a = a_ref[...]
+    pref = pref_ref[...]
+    running = tinv_ref[...]
+    for i in range(G - 1, 0, -1):
+        o_ref[:, i * R : (i + 1) * R] = _lm_mul(
+            spec, running, pref[:, (i - 1) * R : i * R]
+        )
+        running = _lm_mul(spec, running, a[:, i * R : (i + 1) * R])
+    o_ref[:, :R] = running
+
+
+def _fermat_kernel(spec: FieldSpec, a_ref, bits_ref, o_ref):
+    """In-kernel Fermat inversion a^(p-2) on one [L, R] row: fori_loop of
+    square + bit-selected multiply; exponent bits arrive MSB-first as an
+    int32 SMEM vector (bits[0] is always 1)."""
+    a = a_ref[...]
+    nbits = bits_ref.shape[0]
+
+    def body(i, res):
+        res = _lm_sq(spec, res)
+        bit = bits_ref[i]
+        return jnp.where(bit != 0, _lm_mul(spec, res, a), res)
+
+    o_ref[...] = jax.lax.fori_loop(1, nbits, body, a)
+
+
+@functools.lru_cache(maxsize=None)
+def _prefix_call(spec: FieldSpec, n: int, G: int, R: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    blk = G * R
+    grid = (n // blk,)
+    dspec = pl.BlockSpec((L, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((L, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_prefix_kernel, spec, G, R),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, n), jnp.uint32),
+            jax.ShapeDtypeStruct((L, n // G), jnp.uint32),
+        ),
+        grid=grid,
+        in_specs=[dspec],
+        out_specs=(dspec, tspec),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _backward_call(spec: FieldSpec, n: int, G: int, R: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    blk = G * R
+    grid = (n // blk,)
+    dspec = pl.BlockSpec((L, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((L, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_backward_kernel, spec, G, R),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=grid,
+        in_specs=[dspec, dspec, tspec],
+        out_specs=dspec,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _fermat_call(spec: FieldSpec, R: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    e = spec.modulus - 2
+    bits = np.array([int(b) for b in bin(e)[2:]], np.int32)
+    nbits = bits.shape[0]
+    call = pl.pallas_call(
+        functools.partial(_fermat_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct((L, R), jnp.uint32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    # convert the bits INSIDE the call: a cached jnp constant created
+    # during one jit trace would leak that trace's tracer into the next
+    return lambda a: call(a, jnp.asarray(bits))
+
+
+_INV_R = 128  # lane row width; the Fermat base case runs on one row
+
+
+def batch_inverse(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Batched field inversion of a [L, *batch] Montgomery array.
+
+    ~3 Montgomery muls per lane (vs ~2*log2(N) for the associative-scan
+    path in ops/mont.batch_inverse) + one 128-lane Fermat ladder.
+    Zero lanes invert to zero.  Bit-identical to mont.inv per lane
+    (inverses are unique; both end < p)."""
+    L = spec.n_limbs
+    batch = a.shape[1:]
+    n = int(np.prod(batch)) if batch else 1
+    flat = a.reshape(L, n)
+
+    one = jnp.asarray(
+        np.asarray(spec.one_mont_limbs, np.uint32).reshape(L, 1)
+    )
+    zero_mask = (flat == 0).all(axis=0)
+    flat = jnp.where(zero_mask[None, :], one, flat)
+
+    padded = pad_bucket(n, _INV_R)
+    if padded != n:
+        pad_cols = jnp.broadcast_to(one, (L, padded - n))
+        flat = jnp.concatenate([flat, pad_cols], axis=1)
+
+    # forward: shrink to one 128-lane row
+    stack = []  # (a_level, prefix, G, width)
+    cur = flat
+    width = padded
+    while width > _INV_R:
+        G = min(32, width // _INV_R)
+        blk = G * _INV_R
+        if width % blk:
+            extra = blk - width % blk
+            cur = jnp.concatenate(
+                [cur, jnp.broadcast_to(one, (L, extra))], axis=1
+            )
+            width += extra
+        pref, tails = _prefix_call(spec, width, G, _INV_R)(cur)
+        stack.append((cur, pref, G, width))
+        cur = tails
+        width //= G
+
+    tinv = _fermat_call(spec, _INV_R)(cur)
+
+    # backward: expand inverses back up
+    for a_lvl, pref, G, w in reversed(stack):
+        tinv = _backward_call(spec, w, G, _INV_R)(a_lvl, pref, tinv)
+
+    out = tinv[:, :n]
+    out = jnp.where(zero_mask[None, :], jnp.zeros_like(out), out)
+    return out.reshape((L,) + batch)
+
+
 @functools.lru_cache(maxsize=None)
 def _mul_call(spec: FieldSpec, n: int, block: int):
     from jax.experimental import pallas as pl
@@ -207,6 +386,22 @@ def _mul_call(spec: FieldSpec, n: int, block: int):
 
 
 DEFAULT_BLOCK = 1024
+
+
+def pad_bucket(n: int, block: int) -> int:
+    """Round a flattened batch width up to a block multiple, then to the
+    nearest {2^k, 0.75 * 2^k}: kernel widths collapse into a handful of
+    buckets so call sites with drifting widths (MSM tree levels, varying
+    problem sizes) REUSE compiled kernels — the axon remote-compile path
+    costs ~0.5-1 min per distinct Pallas shape.  Padding overhead is
+    <= 1/3 lanes, well under one compile's cost at any realistic width.
+    """
+    n = max(n, block)
+    k = (n - 1).bit_length()  # 2^k >= n
+    c2 = 3 << (k - 2) if k >= 2 else 0
+    if c2 >= n and c2 % block == 0:
+        return c2
+    return 1 << k if (1 << k) % block == 0 else -(-n // block) * block
 
 
 def _butterfly_kernel(spec: FieldSpec, reps: int, lo_ref, hi_ref, w_ref,
@@ -289,7 +484,7 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray,
     af = a.reshape(L, n)
     bf = b.reshape(L, n)
     nb = max(block, 128)
-    padded = -(-n // nb) * nb
+    padded = pad_bucket(n, nb)
     if padded != n:
         pad = ((0, 0), (0, padded - n))
         af = jnp.pad(af, pad)

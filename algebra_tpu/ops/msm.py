@@ -187,6 +187,9 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
             num_windows += 1  # keep the unsigned top window in range
     n_buckets = 1 << (c - 1)
 
+    x_row = _tree_rowmajor(x)
+    y_row = _tree_rowmajor(y)
+
     # Recode + sort in window GROUPS so the transient per-window arrays
     # (digits, keys, argsort workspace) peak at O(group * n), not
     # O(W * n) — at 2^24 points the all-windows transients alone exceed
@@ -194,13 +197,12 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
     # for all windows.
     group = max(1, min(num_windows, (1 << 26) // max(n, 1)))
     bucket_ids = jnp.arange(n_buckets, dtype=jnp.uint32)  # [B]
-    order_parts, isneg_parts, start_parts, count_parts = [], [], [], []
-    for g0 in range(0, num_windows, group):
-        g1 = min(g0 + group, num_windows)
+
+    def recode_group(g0, g1):
         digits = signed_digits(scalars, c, num_windows, last_unsigned=True,
                                w_start=g0, w_end=g1)
         mags = jnp.abs(digits).astype(jnp.uint32)  # 0..2^(c-1)
-        isneg_parts.append(digits < 0)
+        isneg_g = digits < 0
         # bucket key: magnitude-1 for active points; inactive (digit 0
         # or point at infinity) get key = n_buckets, sorting to the end.
         key = jnp.where(
@@ -210,20 +212,54 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         )  # [g, n]
         order_g = jnp.argsort(key, axis=1).astype(jnp.uint32)  # [g, n]
         sorted_key = jnp.take_along_axis(key, order_g, axis=1)
-        order_parts.append(order_g)
-        start_parts.append(jax.vmap(
+        start_g = jax.vmap(
             lambda row: jnp.searchsorted(row, bucket_ids, side="left")
-        )(sorted_key))
-        count_parts.append(jax.vmap(
+        )(sorted_key).astype(jnp.int32)
+        counts_g = (jax.vmap(
             lambda row: jnp.searchsorted(row, bucket_ids, side="right")
-        )(sorted_key) - start_parts[-1])
+        )(sorted_key).astype(jnp.int32) - start_g)
+        return order_g, isneg_g, start_g, counts_g
+
+    from .. import config
+
+    if config.msm_affine_tree_enabled() and hasattr(curve, "affine_add"):
+        # Sorted-segment affine pairwise tree: the whole bucket phase
+        # (including skewed/top windows) runs per window group, so slot
+        # metadata AND the level-0 half-width value arrays stay
+        # O(group * n) — the values are ~L x32 larger per slot than the
+        # u32 metadata, hence the tighter group bound.
+        group = max(1, min(num_windows, (1 << 25) // max(n, 1)))
+        bucket_parts = None
+        for g0 in range(0, num_windows, group):
+            order_g, isneg_g, start_g, counts_g = recode_group(
+                g0, min(g0 + group, num_windows))
+            part = _affine_tree_buckets(
+                curve, x_row, y_row, order_g, isneg_g, start_g, counts_g,
+                n, n_buckets)
+            if bucket_parts is None:
+                bucket_parts = [[coord] for coord in part]
+            else:
+                for lst, coord in zip(bucket_parts, part):
+                    lst.append(coord)
+        buckets = tuple(
+            jax.tree_util.tree_map(lambda *a: jnp.concatenate(a, axis=1), *lst)
+            for lst in bucket_parts
+        )
+        window_sums = _weighted_tree_reduce(curve, buckets)  # [W]
+        return _horner_fold(curve, window_sums, c)
+
+    order_parts, isneg_parts, start_parts, count_parts = [], [], [], []
+    for g0 in range(0, num_windows, group):
+        order_g, isneg_g, start_g, counts_g = recode_group(
+            g0, min(g0 + group, num_windows))
+        order_parts.append(order_g)
+        isneg_parts.append(isneg_g)
+        start_parts.append(start_g)
+        count_parts.append(counts_g)
     order = jnp.concatenate(order_parts, axis=0)  # [W, n]
     is_neg = jnp.concatenate(isneg_parts, axis=0)
     start = jnp.concatenate(start_parts, axis=0)  # [W, B]
     counts = jnp.concatenate(count_parts, axis=0).astype(jnp.int32)
-
-    x_row = _tree_rowmajor(x)
-    y_row = _tree_rowmajor(y)
 
     def make_round_body(order_w, start_w, counts_w, isneg_w):
         def round_body(r, acc):
@@ -301,11 +337,14 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
     # whole-MSM time at c = 16 (B = 32768).  Costs log2(B) distinct
     # compiled add shapes; B is small in the CPU test/dryrun configs.
     window_sums = _weighted_tree_reduce(curve, buckets)  # [W]
+    return _horner_fold(curve, window_sums, c)
 
-    # Horner fold over windows, most significant first, as a scan
-    # (unrolling W * c doublings made the XLA graph enormous).
-    # lax.scan consumes leaf axis 0, so move the window axis ahead of the
-    # limb axis first.
+
+def _horner_fold(curve, window_sums, c: int):
+    """Horner fold over windows, most significant first, as a scan
+    (unrolling W * c doublings made the XLA graph enormous;
+    variable_base/mod.rs:134-148).  lax.scan consumes leaf axis 0, so
+    the window axis moves ahead of the limb axis first."""
     wsums_desc = curve.index_point(window_sums, slice(None, None, -1))
     wsums_scan = jax.tree_util.tree_map(
         lambda a: jnp.moveaxis(a, 1, 0), wsums_desc
@@ -318,6 +357,235 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
 
     total, _ = jax.lax.scan(fold, curve.zero(()), wsums_scan)
     return total
+
+
+def _batched_inv_fn(base):
+    """Batched field inversion hook for the affine bucket phase.
+
+    Prime fields route to the blocked Pallas Montgomery trick (~3 muls
+    per lane) on TPU and the associative-scan trick on CPU; other kinds
+    (extension towers) fall back to the kind's own inverse."""
+    from ..fields.prime import PrimeField
+    from .. import config
+
+    if not isinstance(base, PrimeField):
+        return base.inverse
+    spec = base.spec
+
+    def invert(v):
+        batch = v.shape[1:]
+        nb = int(np.prod(batch)) if batch else 1
+        if config.pallas_enabled() and nb >= config.pallas_min_batch:
+            from . import mont_pallas
+
+            return mont_pallas.batch_inverse(spec, v)
+        flat = v.reshape(spec.n_limbs, nb)
+        out = mont.batch_inverse(spec, flat, axis=0)
+        return out.reshape(v.shape)
+
+    return invert
+
+
+def _affine_tree_buckets(curve, x_row, y_row, order, is_neg, start, counts,
+                         n: int, n_buckets: int):
+    """Bucket sums for one window group via the sorted-segment affine
+    pairwise tree.  Returns a Jacobian bucket batch [g, B].
+
+    After the per-window sort, each bucket's points form one contiguous
+    run.  Level l adds adjacent SAME-RUN pairs with a single batched
+    affine chord/tangent add (curve.affine_add: ~7 field muls per lane
+    including the amortized blocked inversion) and compacts survivors:
+    slot ranks halve, run counts ceil-halve, and the array width shrinks
+    to  n/2^l + B.  Compaction indices are pure u32 scatter/gather work.
+    When halving stops helping (width ~ 2B), the remaining short runs
+    finish with the capped lockstep mixed-add rounds + compacted drain
+    (same scheme as the Jacobian path, reading compacted slots instead
+    of re-gathering bases).
+
+    vs the lockstep-only scheme this does ~1.0x n affine adds (7 muls)
+    instead of ~1.3x n Jacobian mixed adds (19 muls) per window, and
+    needs no top-window special case: skewed windows just take more
+    (cheap, narrow) levels.
+    """
+    B = curve.base
+    g = order.shape[0]
+    inv_fn = _batched_inv_fn(B)
+    sentinel_run = jnp.int32(n_buckets)
+    w_rows = jnp.arange(g, dtype=jnp.int32)[:, None]
+
+    # ---- level-0 slot metadata (slot = position in sorted order)
+    j = jnp.arange(n, dtype=jnp.int32)[None, :]  # [1, n]
+    run = jax.vmap(
+        lambda srow: jnp.searchsorted(srow, j[0], side="right") - 1
+    )(start).astype(jnp.int32)  # [g, n]
+    end_total = (start[:, -1] + counts[:, -1])[:, None]  # [g, 1]
+    valid = j < end_total
+    run = jnp.where(valid, run, sentinel_run)
+    runc = jnp.minimum(run, n_buckets - 1)
+    rank = jnp.where(valid, j - jnp.take_along_axis(start, runc, axis=1), 0)
+
+    def pair_plan(rank, run, counts_b, m_next, m_sentinel):
+        """Pairing/compaction indices for one level.  Returns
+        (dst2src [g, m_next] with m_sentinel for empty slots,
+         has_partner [g, width], new_counts [g, B])."""
+        runc = jnp.minimum(run, n_buckets - 1)
+        cnt = jnp.take_along_axis(counts_b, runc, axis=1)
+        active = run < sentinel_run
+        pairable = jnp.logical_and(active, (rank & 1) == 0)
+        has_partner = jnp.logical_and(pairable, rank + 1 < cnt)
+        new_counts = (counts_b + 1) >> 1
+        new_start = jnp.cumsum(new_counts, axis=1) - new_counts  # exclusive
+        dest = jnp.where(
+            pairable,
+            jnp.take_along_axis(new_start, runc, axis=1) + (rank >> 1),
+            m_next,  # out of bounds -> dropped
+        )
+        dst2src = jnp.full((g, m_next), m_sentinel, jnp.int32)
+        src_ids = jnp.broadcast_to(
+            jnp.arange(rank.shape[1], dtype=jnp.int32)[None, :], rank.shape
+        )
+        dst2src = dst2src.at[w_rows, dest].set(src_ids, mode="drop")
+        return dst2src, has_partner, new_counts
+
+    # ---- level 0: pair-add gathers points straight from the bases
+    m1 = min(n, (n + 1) // 2 + n_buckets)
+    dst2src, has_partner, counts_b = pair_plan(rank, run, counts, m1, n)
+    empty = dst2src >= n
+    srcc = jnp.minimum(dst2src, n - 1)
+
+    def base_fetch(slot_idx, slot_valid):
+        pt = jnp.take_along_axis(order, slot_idx.astype(jnp.uint32), axis=1)
+        gx = _row_take(x_row, pt)
+        gy = _row_take(y_row, pt)
+        gneg = jnp.take_along_axis(is_neg, pt, axis=1)
+        gy = B.select(gneg, B.neg(gy), gy)
+        return (gx, gy, jnp.logical_not(slot_valid))
+
+    left = base_fetch(srcc, jnp.logical_not(empty))
+    hp = jnp.logical_and(
+        jnp.take_along_axis(has_partner, srcc, axis=1),
+        jnp.logical_not(empty),
+    )
+    right = base_fetch(jnp.minimum(srcc + 1, n - 1), hp)
+    V = curve.affine_add(left, right, inv_fn)
+    run = jnp.where(empty, sentinel_run,
+                    jnp.take_along_axis(run, srcc, axis=1))
+    rank = jnp.take_along_axis(rank, srcc, axis=1) >> 1
+    m = m1
+
+    # ---- levels 1..: pair-add within the compacted slot array
+    level = 1
+    while True:
+        m_next = min(m, (n >> (level + 1)) + n_buckets)
+        if m_next >= m - (m >> 2):
+            # <25% shrink: runs are short (counts ~ 1-2); the lockstep
+            # rounds below finish them cheaper than more ~B-wide levels.
+            break
+        dst2src, has_partner, counts_b = pair_plan(
+            rank, run, counts_b, m_next, m)
+        empty = dst2src >= m
+        srcc = jnp.minimum(dst2src, m - 1)
+
+        def slot_fetch(slot_idx, slot_valid):
+            gx = jax.tree_util.tree_map(
+                lambda a: jnp.take_along_axis(a, slot_idx[None], axis=2), V[0]
+            )
+            gy = jax.tree_util.tree_map(
+                lambda a: jnp.take_along_axis(a, slot_idx[None], axis=2), V[1]
+            )
+            ginf = jnp.take_along_axis(V[2], slot_idx, axis=1)
+            return (gx, gy,
+                    jnp.logical_or(ginf, jnp.logical_not(slot_valid)))
+
+        left = slot_fetch(srcc, jnp.logical_not(empty))
+        hp = jnp.logical_and(
+            jnp.take_along_axis(has_partner, srcc, axis=1),
+            jnp.logical_not(empty),
+        )
+        right = slot_fetch(jnp.minimum(srcc + 1, m - 1), hp)
+        V = curve.affine_add(left, right, inv_fn)
+        run = jnp.where(empty, sentinel_run,
+                        jnp.take_along_axis(run, srcc, axis=1))
+        rank = jnp.take_along_axis(rank, srcc, axis=1) >> 1
+        m = m_next
+        level += 1
+
+    # ---- finish: capped lockstep mixed-add rounds over compacted slots
+    start_c = jnp.cumsum(counts_b, axis=1) - counts_b  # [g, B]
+
+    def slot_round(r, acc):
+        pos = jnp.minimum(start_c + r, m - 1)
+        validr = r < counts_b
+        gx = jax.tree_util.tree_map(
+            lambda a: jnp.take_along_axis(a, pos[None], axis=2), V[0]
+        )
+        gy = jax.tree_util.tree_map(
+            lambda a: jnp.take_along_axis(a, pos[None], axis=2), V[1]
+        )
+        ginf = jnp.logical_or(
+            jnp.take_along_axis(V[2], pos, axis=1),
+            jnp.logical_not(validr),
+        )
+        return curve.add_mixed(acc, (gx, gy, ginf))
+
+    zero_pt = curve.zero((g, n_buckets))
+    counts_f = counts_b.reshape(-1)
+    rounds_max = jnp.max(counts_f)
+    WB = g * n_buckets
+    K = min(max(64, WB // 16), WB)
+    if WB > 2 * K:
+        rounds_full = jnp.sort(counts_f)[WB - K]
+    else:
+        rounds_full = rounds_max
+    buckets = jax.lax.fori_loop(0, rounds_full, slot_round, zero_pt)
+    if WB > 2 * K:
+        buckets = _drain_slot_tail(
+            curve, buckets, V, counts_f, start_c, rounds_full, rounds_max,
+            g, n_buckets, m, K)
+    return buckets
+
+
+def _drain_slot_tail(curve, buckets, V, counts_f, start_c, r0, r1, g,
+                     n_buckets, m, K):
+    """Finish the <= K-1 overfull (window, bucket) pairs left by the
+    capped lockstep loop over compacted slots (same scheme as
+    _drain_bucket_tail, reading slot values instead of bases)."""
+    surv = jnp.argsort(-counts_f)[:K]
+    w_idx = surv // n_buckets
+    start_cc = start_c.reshape(-1)[surv]
+    counts_cc = counts_f[surv]
+    Vx = jax.tree_util.tree_map(lambda a: a.reshape(a.shape[0], -1), V[0])
+    Vy = jax.tree_util.tree_map(lambda a: a.reshape(a.shape[0], -1), V[1])
+    Vinf = V[2].reshape(-1)
+
+    compact = tuple(
+        jax.tree_util.tree_map(
+            lambda a: a.reshape(a.shape[0], -1)[:, surv], coord
+        )
+        for coord in buckets
+    )
+
+    def body(r, acc):
+        pos = jnp.minimum(start_cc + r, m - 1)
+        validr = r < counts_cc
+        flat = w_idx * m + pos
+        gx = jax.tree_util.tree_map(lambda a: a[:, flat], Vx)
+        gy = jax.tree_util.tree_map(lambda a: a[:, flat], Vy)
+        ginf = jnp.logical_or(Vinf[flat], jnp.logical_not(validr))
+        return curve.add_mixed(acc, (gx, gy, ginf))
+
+    compact = jax.lax.fori_loop(r0, r1, body, compact)
+    return tuple(
+        jax.tree_util.tree_map(
+            lambda a, comp: a.reshape(a.shape[0], -1)
+            .at[:, surv]
+            .set(comp)
+            .reshape(a.shape),
+            coord,
+            comp_c,
+        )
+        for coord, comp_c in zip(buckets, compact)
+    )
 
 
 def _drain_bucket_tail(curve, base, buckets, counts_f, r0, r1, order, start,
@@ -393,6 +661,16 @@ def _weighted_tree_reduce(curve, P):
     B = jax.tree_util.tree_leaves(P)[0].shape[-1]
     if B == 1:
         return curve.index_point(P, (slice(None), 0))
+    from .. import config
+
+    if not config.pallas_enabled():
+        # XLA:CPU compiles each distinct-shape add body through LLVM at
+        # great expense (~1 min per level at B=128); the scanned
+        # suffix-scan reduction compiles ONE body.  TPU compiles fast
+        # and is runtime-bound, so it takes the O(B) tree below.
+        suffix = _hs_suffix_scan(curve, P, B)
+        summed = _hs_suffix_scan(curve, suffix, B)  # sum_k sum_{j>=k}
+        return curve.index_point(summed, (slice(None), 0))
     # first merge specialized: leaf Wt = 0 and U = S, so
     # Wt1 = S_odd, T1 = S_even + S_odd, U1 = double(T1).
     even, odd = split(P)
@@ -414,22 +692,27 @@ def _hs_suffix_scan(curve, P, B: int):
     """Inclusive suffix scan S_k = sum_{m >= k} P_m along axis 1 via
     Hillis–Steele doubling: log2(B) steps, each one batched add of the
     full [W, B] point array with out-of-range lanes forced to infinity
-    (z = 0)."""
-    d = 1
-    while d < B:
+    (z = 0).  The steps run as a lax.scan over the shift distances so
+    XLA compiles ONE add body regardless of B."""
+    shifts = jnp.asarray(
+        [1 << i for i in range((B - 1).bit_length())], dtype=jnp.int32
+    )
+    col = jnp.arange(B)
+
+    def step(Q, d):
         shifted = tuple(
             jax.tree_util.tree_map(lambda a: jnp.roll(a, -d, axis=2), coord)
-            for coord in P
+            for coord in Q
         )
-        col = jnp.arange(B)
         valid = col + d < B  # [B], right-aligns against [L, W, B]
         # force wrapped lanes to the identity: z = 0 marks infinity
         x, y, z = shifted
         z = jax.tree_util.tree_map(
             lambda a: jnp.where(valid, a, jnp.zeros_like(a)), z
         )
-        P = curve.add(P, (x, y, z))
-        d *= 2
+        return curve.add(Q, (x, y, z)), None
+
+    P, _ = jax.lax.scan(step, P, shifts)
     return P
 
 

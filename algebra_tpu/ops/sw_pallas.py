@@ -198,10 +198,13 @@ def _add_call(spec: FieldSpec, n: int, block: int):
 
 
 def _flatten(spec, arrs, block):
-    """Limb-major [K, *batch] arrays -> [K, n_padded] flats."""
+    """Limb-major [K, *batch] arrays -> [K, n_padded] flats (widths
+    bucketized to {2^k, 0.75*2^k} so kernel shapes are reused)."""
+    from .mont_pallas import pad_bucket
+
     batch = arrs[0].shape[1:]
     n = int(np.prod(batch)) if batch else 1
-    padded = -(-n // block) * block
+    padded = pad_bucket(n, block)
     flat = []
     for a in arrs:
         f = a.reshape((a.shape[0], n))

@@ -71,6 +71,36 @@ def test_signed_digits_reconstruct(rng):
         assert recon == k, f"scalar {j}"
 
 
+def test_msm_affine_tree_path(rng):
+    """The sorted-segment affine pairwise tree (the TPU-default bucket
+    phase, ops/msm.py _affine_tree_buckets) against the host oracle,
+    covering its exceptional cases: duplicate points (tangent adds
+    inside a bucket), an infinity base, zero and repeated scalars.
+    Forced on explicitly — the CPU default is the lockstep path."""
+    from algebra_tpu import config
+
+    curve = secp256k1.g1()
+    n = 96
+    pts = curve.random_host(rng, 24) * 4  # duplicates -> bucket doublings
+    pts[5] = None
+    scalars = [rng.randrange(1 << 64) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = scalars[2]
+    bases = curve.from_host(pts)
+    sc = jnp.asarray(batch_int_to_limbs(scalars, 4))
+    config.msm_affine_tree = True
+    try:
+        got = curve.to_host(
+            jax.jit(
+                lambda b, s: msm_mod.msm(curve, b, s, c=8, scalar_bits=64)
+            )(bases, sc)
+        )
+    finally:
+        config.msm_affine_tree = None
+    assert got == naive_msm(curve, [p for p in pts if p is not None],
+                            [k for p, k in zip(pts, scalars) if p is not None])
+
+
 def test_msm_single_hot_bucket(rng):
     """All-equal scalars put every point into ONE bucket per window —
     the maximal Poisson-tail case for the capped lockstep + compacted
