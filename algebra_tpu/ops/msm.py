@@ -467,11 +467,33 @@ def _affine_tree_buckets(curve, x_row, y_row, order, is_neg, start, counts,
         jnp.logical_not(empty),
     )
     right = base_fetch(jnp.minimum(srcc + 1, n - 1), hp)
-    V = curve.affine_add(left, right, inv_fn)
+    L = jax.tree_util.tree_leaves(x_row)[0].shape[-1]
+
+    def to_rows(P):
+        """(x [L, g, m], y, inf) -> point-major rows [g, m, 2L] + inf.
+
+        Slot values persist between levels point-major so each gathered
+        point is ONE contiguous 2L-limb row (x|y) — minor-axis element
+        gathers on limb-major arrays were ~7x the whole phase's
+        arithmetic."""
+        x3, y3, i3 = P
+        rows = jnp.concatenate(
+            [jnp.moveaxis(x3, 0, -1), jnp.moveaxis(y3, 0, -1)], axis=-1
+        )
+        return rows, i3
+
+    Vrow, Vinf = to_rows(curve.affine_add(left, right, inv_fn))
     run = jnp.where(empty, sentinel_run,
                     jnp.take_along_axis(run, srcc, axis=1))
     rank = jnp.take_along_axis(rank, srcc, axis=1) >> 1
     m = m1
+
+    def slot_fetch(slot_idx, slot_valid):
+        rows = jnp.take_along_axis(Vrow, slot_idx[:, :, None], axis=1)
+        gx = jnp.moveaxis(rows[..., :L], -1, 0)
+        gy = jnp.moveaxis(rows[..., L:], -1, 0)
+        ginf = jnp.take_along_axis(Vinf, slot_idx, axis=1)
+        return (gx, gy, jnp.logical_or(ginf, jnp.logical_not(slot_valid)))
 
     # ---- levels 1..: pair-add within the compacted slot array
     level = 1
@@ -485,25 +507,13 @@ def _affine_tree_buckets(curve, x_row, y_row, order, is_neg, start, counts,
             rank, run, counts_b, m_next, m)
         empty = dst2src >= m
         srcc = jnp.minimum(dst2src, m - 1)
-
-        def slot_fetch(slot_idx, slot_valid):
-            gx = jax.tree_util.tree_map(
-                lambda a: jnp.take_along_axis(a, slot_idx[None], axis=2), V[0]
-            )
-            gy = jax.tree_util.tree_map(
-                lambda a: jnp.take_along_axis(a, slot_idx[None], axis=2), V[1]
-            )
-            ginf = jnp.take_along_axis(V[2], slot_idx, axis=1)
-            return (gx, gy,
-                    jnp.logical_or(ginf, jnp.logical_not(slot_valid)))
-
         left = slot_fetch(srcc, jnp.logical_not(empty))
         hp = jnp.logical_and(
             jnp.take_along_axis(has_partner, srcc, axis=1),
             jnp.logical_not(empty),
         )
         right = slot_fetch(jnp.minimum(srcc + 1, m - 1), hp)
-        V = curve.affine_add(left, right, inv_fn)
+        Vrow, Vinf = to_rows(curve.affine_add(left, right, inv_fn))
         run = jnp.where(empty, sentinel_run,
                         jnp.take_along_axis(run, srcc, axis=1))
         rank = jnp.take_along_axis(rank, srcc, axis=1) >> 1
@@ -516,16 +526,7 @@ def _affine_tree_buckets(curve, x_row, y_row, order, is_neg, start, counts,
     def slot_round(r, acc):
         pos = jnp.minimum(start_c + r, m - 1)
         validr = r < counts_b
-        gx = jax.tree_util.tree_map(
-            lambda a: jnp.take_along_axis(a, pos[None], axis=2), V[0]
-        )
-        gy = jax.tree_util.tree_map(
-            lambda a: jnp.take_along_axis(a, pos[None], axis=2), V[1]
-        )
-        ginf = jnp.logical_or(
-            jnp.take_along_axis(V[2], pos, axis=1),
-            jnp.logical_not(validr),
-        )
+        gx, gy, ginf = slot_fetch(pos, validr)
         return curve.add_mixed(acc, (gx, gy, ginf))
 
     zero_pt = curve.zero((g, n_buckets))
@@ -540,23 +541,23 @@ def _affine_tree_buckets(curve, x_row, y_row, order, is_neg, start, counts,
     buckets = jax.lax.fori_loop(0, rounds_full, slot_round, zero_pt)
     if WB > 2 * K:
         buckets = _drain_slot_tail(
-            curve, buckets, V, counts_f, start_c, rounds_full, rounds_max,
-            g, n_buckets, m, K)
+            curve, buckets, Vrow, Vinf, L, counts_f, start_c, rounds_full,
+            rounds_max, g, n_buckets, m, K)
     return buckets
 
 
-def _drain_slot_tail(curve, buckets, V, counts_f, start_c, r0, r1, g,
-                     n_buckets, m, K):
+def _drain_slot_tail(curve, buckets, Vrow, Vinf, L, counts_f, start_c, r0,
+                     r1, g, n_buckets, m, K):
     """Finish the <= K-1 overfull (window, bucket) pairs left by the
     capped lockstep loop over compacted slots (same scheme as
-    _drain_bucket_tail, reading slot values instead of bases)."""
+    _drain_bucket_tail, reading point-major slot rows instead of
+    bases)."""
     surv = jnp.argsort(-counts_f)[:K]
     w_idx = surv // n_buckets
     start_cc = start_c.reshape(-1)[surv]
     counts_cc = counts_f[surv]
-    Vx = jax.tree_util.tree_map(lambda a: a.reshape(a.shape[0], -1), V[0])
-    Vy = jax.tree_util.tree_map(lambda a: a.reshape(a.shape[0], -1), V[1])
-    Vinf = V[2].reshape(-1)
+    VrowF = Vrow.reshape(-1, Vrow.shape[-1])  # [g*m, 2L]
+    VinfF = Vinf.reshape(-1)
 
     compact = tuple(
         jax.tree_util.tree_map(
@@ -569,9 +570,10 @@ def _drain_slot_tail(curve, buckets, V, counts_f, start_c, r0, r1, g,
         pos = jnp.minimum(start_cc + r, m - 1)
         validr = r < counts_cc
         flat = w_idx * m + pos
-        gx = jax.tree_util.tree_map(lambda a: a[:, flat], Vx)
-        gy = jax.tree_util.tree_map(lambda a: a[:, flat], Vy)
-        ginf = jnp.logical_or(Vinf[flat], jnp.logical_not(validr))
+        rows = VrowF[flat]  # [K, 2L]
+        gx = jnp.moveaxis(rows[..., :L], -1, 0)
+        gy = jnp.moveaxis(rows[..., L:], -1, 0)
+        ginf = jnp.logical_or(VinfF[flat], jnp.logical_not(validr))
         return curve.add_mixed(acc, (gx, gy, ginf))
 
     compact = jax.lax.fori_loop(r0, r1, body, compact)
