@@ -19,6 +19,11 @@ pallas_min_batch: int = 4096
 msm_affine_tree: bool | None = None
 
 
+# Run Pallas kernels in interpret mode (XLA emulation) — lets the CPU
+# test suite execute the kernel definitions themselves.
+pallas_interpret: bool = False
+
+
 def msm_affine_tree_enabled() -> bool:
     if msm_affine_tree is not None:
         return bool(msm_affine_tree)

@@ -364,8 +364,31 @@ class SWCurve:
         short_weierstrass/affine.rs); all exceptional cases selected:
           P or Q at infinity -> other;  x1 == x2, y1 == y2 != 0 ->
           tangent (doubling);  x1 == x2 otherwise -> infinity.
+
+        Large prime-field TPU batches run the fused kernel pair
+        (ops/sw_pallas.affine_add): without fusion the ~10 elementwise
+        [L, n] temporaries live in HBM and dominate both memory and
+        bandwidth.
         """
         B = self.base
+        if self._prime_base:
+            from .. import config
+
+            import numpy as np
+
+            shape = B.batch_shape(P[0])
+            nb = int(np.prod(shape)) if shape else 1
+            if config.pallas_enabled() and nb >= config.pallas_min_batch:
+                from ..bigint import int_to_limbs
+                from ..ops import sw_pallas
+
+                a_mont = None
+                if not self.a_is_zero:
+                    spec = B.spec
+                    a_mont = tuple(int(v) for v in int_to_limbs(
+                        (int(self.a_host) * spec.R) % spec.modulus,
+                        spec.n_limbs))
+                return sw_pallas.affine_add(B.spec, a_mont, P, Q, inv_fn)
         x1, y1, i1 = P
         x2, y2, i2 = Q
         d = B.sub(x2, x1)

@@ -250,7 +250,8 @@ def _fermat_kernel(spec: FieldSpec, a_ref, bits_ref, o_ref):
 
 
 @functools.lru_cache(maxsize=None)
-def _prefix_call(spec: FieldSpec, n: int, G: int, R: int):
+def _prefix_call(spec: FieldSpec, n: int, G: int, R: int,
+                 interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -268,11 +269,13 @@ def _prefix_call(spec: FieldSpec, n: int, G: int, R: int):
         grid=grid,
         in_specs=[dspec],
         out_specs=(dspec, tspec),
+        interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _backward_call(spec: FieldSpec, n: int, G: int, R: int):
+def _backward_call(spec: FieldSpec, n: int, G: int, R: int,
+                   interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -287,11 +290,12 @@ def _backward_call(spec: FieldSpec, n: int, G: int, R: int):
         grid=grid,
         in_specs=[dspec, dspec, tspec],
         out_specs=dspec,
+        interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _fermat_call(spec: FieldSpec, R: int):
+def _fermat_call(spec: FieldSpec, R: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -307,6 +311,7 @@ def _fermat_call(spec: FieldSpec, R: int):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
     )
     # convert the bits INSIDE the call: a cached jnp constant created
     # during one jit trace would leak that trace's tracer into the next
@@ -323,6 +328,9 @@ def batch_inverse(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     path in ops/mont.batch_inverse) + one 128-lane Fermat ladder.
     Zero lanes invert to zero.  Bit-identical to mont.inv per lane
     (inverses are unique; both end < p)."""
+    from .. import config
+
+    interp = bool(config.pallas_interpret)
     L = spec.n_limbs
     batch = a.shape[1:]
     n = int(np.prod(batch)) if batch else 1
@@ -352,16 +360,16 @@ def batch_inverse(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
                 [cur, jnp.broadcast_to(one, (L, extra))], axis=1
             )
             width += extra
-        pref, tails = _prefix_call(spec, width, G, _INV_R)(cur)
+        pref, tails = _prefix_call(spec, width, G, _INV_R, interp)(cur)
         stack.append((cur, pref, G, width))
         cur = tails
         width //= G
 
-    tinv = _fermat_call(spec, _INV_R)(cur)
+    tinv = _fermat_call(spec, _INV_R, interp)(cur)
 
     # backward: expand inverses back up
     for a_lvl, pref, G, w in reversed(stack):
-        tinv = _backward_call(spec, w, G, _INV_R)(a_lvl, pref, tinv)
+        tinv = _backward_call(spec, w, G, _INV_R, interp)(a_lvl, pref, tinv)
 
     out = tinv[:, :n]
     out = jnp.where(zero_mask[None, :], jnp.zeros_like(out), out)

@@ -187,9 +187,6 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
             num_windows += 1  # keep the unsigned top window in range
     n_buckets = 1 << (c - 1)
 
-    x_row = _tree_rowmajor(x)
-    y_row = _tree_rowmajor(y)
-
     # Recode + sort in window GROUPS so the transient per-window arrays
     # (digits, keys, argsort workspace) peak at O(group * n), not
     # O(W * n) — at 2^24 points the all-windows transients alone exceed
@@ -218,7 +215,7 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         counts_g = (jax.vmap(
             lambda row: jnp.searchsorted(row, bucket_ids, side="right")
         )(sorted_key).astype(jnp.int32) - start_g)
-        return order_g, isneg_g, start_g, counts_g
+        return order_g, isneg_g, sorted_key, start_g, counts_g
 
     from .. import config
 
@@ -229,12 +226,20 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         # O(group * n) — the values are ~L x32 larger per slot than the
         # u32 metadata, hence the tighter group bound.
         group = max(1, min(num_windows, (1 << 25) // max(n, 1)))
+        # point-major x|y rows: one contiguous 2L-limb row per gathered
+        # point (the transposes replace x_row/y_row below)
+        xy_rows = jnp.concatenate([x, y], axis=0).T  # [n, 2L]
         bucket_parts = None
         for g0 in range(0, num_windows, group):
-            order_g, isneg_g, start_g, counts_g = recode_group(
+            order_g, isneg_g, skey_g, start_g, counts_g = recode_group(
                 g0, min(g0 + group, num_windows))
+            # fold the digit sign into the permutation's top bit: one
+            # gather fetches point index + sign together
+            negs = jnp.take_along_axis(isneg_g, order_g.astype(jnp.int32),
+                                       axis=1)
+            order_signed = order_g | (negs.astype(jnp.uint32) << 31)
             part = _affine_tree_buckets(
-                curve, x_row, y_row, order_g, isneg_g, start_g, counts_g,
+                curve, xy_rows, order_signed, skey_g, start_g, counts_g,
                 n, n_buckets)
             if bucket_parts is None:
                 bucket_parts = [[coord] for coord in part]
@@ -250,7 +255,7 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
 
     order_parts, isneg_parts, start_parts, count_parts = [], [], [], []
     for g0 in range(0, num_windows, group):
-        order_g, isneg_g, start_g, counts_g = recode_group(
+        order_g, isneg_g, _skey, start_g, counts_g = recode_group(
             g0, min(g0 + group, num_windows))
         order_parts.append(order_g)
         isneg_parts.append(isneg_g)
@@ -260,6 +265,9 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
     is_neg = jnp.concatenate(isneg_parts, axis=0)
     start = jnp.concatenate(start_parts, axis=0)  # [W, B]
     counts = jnp.concatenate(count_parts, axis=0).astype(jnp.int32)
+
+    x_row = _tree_rowmajor(x)
+    y_row = _tree_rowmajor(y)
 
     def make_round_body(order_w, start_w, counts_w, isneg_w):
         def round_body(r, acc):
@@ -386,8 +394,8 @@ def _batched_inv_fn(base):
     return invert
 
 
-def _affine_tree_buckets(curve, x_row, y_row, order, is_neg, start, counts,
-                         n: int, n_buckets: int):
+def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
+                         counts, n: int, n_buckets: int):
     """Bucket sums for one window group via the sorted-segment affine
     pairwise tree.  Returns a Jacobian bucket batch [g, B].
 
@@ -396,11 +404,17 @@ def _affine_tree_buckets(curve, x_row, y_row, order, is_neg, start, counts,
     affine chord/tangent add (curve.affine_add: ~7 field muls per lane
     including the amortized blocked inversion) and compacts survivors:
     slot ranks halve, run counts ceil-halve, and the array width shrinks
-    to  n/2^l + B.  Compaction indices are pure u32 scatter/gather work.
-    When halving stops helping (width ~ 2B), the remaining short runs
-    finish with the capped lockstep mixed-add rounds + compacted drain
-    (same scheme as the Jacobian path, reading compacted slots instead
-    of re-gathering bases).
+    to  n/2^l + B.  When halving stops helping (width ~ 2B), the
+    remaining short runs finish with capped lockstep mixed-add rounds +
+    a compacted drain.
+
+    The value layout is gather-count-driven (profiling showed TPU
+    dynamic gathers cost ~15-20 ns per INDEX regardless of row width,
+    dwarfing the field math): slots persist as point-major packed rows
+    [g, m, 2L+3] = [x | y | inf | run | rank], so one row gather per
+    side per level fetches coordinates AND metadata; run ids come from
+    the sort keys (no searchsorted); the digit sign rides the top bit of
+    the order permutation.
 
     vs the lockstep-only scheme this does ~1.0x n affine adds (7 muls)
     instead of ~1.3x n Jacobian mixed adds (19 muls) per window, and
@@ -408,94 +422,101 @@ def _affine_tree_buckets(curve, x_row, y_row, order, is_neg, start, counts,
     (cheap, narrow) levels.
     """
     B = curve.base
-    g = order.shape[0]
+    g = order_signed.shape[0]
+    L = xy_rows.shape[-1] // 2
     inv_fn = _batched_inv_fn(B)
-    sentinel_run = jnp.int32(n_buckets)
+    sent = jnp.uint32(n_buckets)
     w_rows = jnp.arange(g, dtype=jnp.int32)[:, None]
+    counts_b = counts.astype(jnp.uint32)  # [g, B]
+    startu = start.astype(jnp.uint32)
 
-    # ---- level-0 slot metadata (slot = position in sorted order)
-    j = jnp.arange(n, dtype=jnp.int32)[None, :]  # [1, n]
-    run = jax.vmap(
-        lambda srow: jnp.searchsorted(srow, j[0], side="right") - 1
-    )(start).astype(jnp.int32)  # [g, n]
-    end_total = (start[:, -1] + counts[:, -1])[:, None]  # [g, 1]
-    valid = j < end_total
-    run = jnp.where(valid, run, sentinel_run)
-    runc = jnp.minimum(run, n_buckets - 1)
-    rank = jnp.where(valid, j - jnp.take_along_axis(start, runc, axis=1), 0)
+    def rows_take(V, idx):
+        """Row gather: V [g, m, R] at idx [g, m'] -> [g, m', R] with
+        explicit per-row slices (take_along_axis would broadcast the
+        index over R and gather per element)."""
+        return jax.vmap(lambda v, i: v[i])(V, idx)
 
-    def pair_plan(rank, run, counts_b, m_next, m_sentinel):
-        """Pairing/compaction indices for one level.  Returns
-        (dst2src [g, m_next] with m_sentinel for empty slots,
-         has_partner [g, width], new_counts [g, B])."""
-        runc = jnp.minimum(run, n_buckets - 1)
-        cnt = jnp.take_along_axis(counts_b, runc, axis=1)
-        active = run < sentinel_run
-        pairable = jnp.logical_and(active, (rank & 1) == 0)
+    def pair_plan(run, rank, counts_b, m_next, width):
+        """Pairing/compaction for one level: two [g, B]-table gathers +
+        one scatter.  Returns (dst2src [g, m_next] with `width` marking
+        empty slots, has_partner [g, width], new_counts)."""
+        runc = jnp.minimum(run, sent - 1)
+        cnt = jnp.take_along_axis(counts_b, runc.astype(jnp.int32), axis=1)
+        pairable = jnp.logical_and(run < sent, (rank & 1) == 0)
         has_partner = jnp.logical_and(pairable, rank + 1 < cnt)
         new_counts = (counts_b + 1) >> 1
         new_start = jnp.cumsum(new_counts, axis=1) - new_counts  # exclusive
         dest = jnp.where(
             pairable,
-            jnp.take_along_axis(new_start, runc, axis=1) + (rank >> 1),
-            m_next,  # out of bounds -> dropped
+            jnp.take_along_axis(new_start, runc.astype(jnp.int32), axis=1)
+            + (rank >> 1),
+            jnp.uint32(m_next),  # out of bounds -> dropped
         )
-        dst2src = jnp.full((g, m_next), m_sentinel, jnp.int32)
+        dst2src = jnp.full((g, m_next), width, jnp.uint32)
         src_ids = jnp.broadcast_to(
-            jnp.arange(rank.shape[1], dtype=jnp.int32)[None, :], rank.shape
+            jnp.arange(rank.shape[1], dtype=jnp.uint32)[None, :], rank.shape
         )
-        dst2src = dst2src.at[w_rows, dest].set(src_ids, mode="drop")
+        dst2src = dst2src.at[w_rows, dest.astype(jnp.int32)].set(
+            src_ids, mode="drop")
         return dst2src, has_partner, new_counts
+
+    def pack_rows(P, run, rank):
+        """(x [L,g,m], y, inf) + metadata -> packed rows [g, m, 2L+3]."""
+        x3, y3, i3 = P
+        return jnp.concatenate(
+            [
+                jnp.moveaxis(x3, 0, -1),
+                jnp.moveaxis(y3, 0, -1),
+                i3.astype(jnp.uint32)[..., None],
+                run[..., None],
+                rank[..., None],
+            ],
+            axis=-1,
+        )
+
+    def unpack_rows(rows, slot_valid):
+        gx = jnp.moveaxis(rows[..., :L], -1, 0)
+        gy = jnp.moveaxis(rows[..., L : 2 * L], -1, 0)
+        ginf = jnp.logical_or(rows[..., 2 * L] != 0,
+                              jnp.logical_not(slot_valid))
+        return (gx, gy, ginf)
+
+    # ---- level-0 metadata: run ids ARE the sort keys; rank = pos-start
+    run0 = sorted_key  # [g, n] uint32, n_buckets marks inactive slots
+    j = jnp.arange(n, dtype=jnp.uint32)[None, :]
+    run0c = jnp.minimum(run0, sent - 1).astype(jnp.int32)
+    rank0 = jnp.where(
+        run0 < sent, j - jnp.take_along_axis(startu, run0c, axis=1), 0
+    )
 
     # ---- level 0: pair-add gathers points straight from the bases
     m1 = min(n, (n + 1) // 2 + n_buckets)
-    dst2src, has_partner, counts_b = pair_plan(rank, run, counts, m1, n)
+    dst2src, has_partner, counts_b = pair_plan(run0, rank0, counts_b, m1, n)
     empty = dst2src >= n
-    srcc = jnp.minimum(dst2src, n - 1)
+    srcc = jnp.minimum(dst2src, n - 1).astype(jnp.int32)
+    meta0 = jnp.stack(  # pack so ONE row gather fetches all three
+        [run0, rank0, has_partner.astype(jnp.uint32)], axis=-1)
 
     def base_fetch(slot_idx, slot_valid):
-        pt = jnp.take_along_axis(order, slot_idx.astype(jnp.uint32), axis=1)
-        gx = _row_take(x_row, pt)
-        gy = _row_take(y_row, pt)
-        gneg = jnp.take_along_axis(is_neg, pt, axis=1)
-        gy = B.select(gneg, B.neg(gy), gy)
-        return (gx, gy, jnp.logical_not(slot_valid))
-
-    left = base_fetch(srcc, jnp.logical_not(empty))
-    hp = jnp.logical_and(
-        jnp.take_along_axis(has_partner, srcc, axis=1),
-        jnp.logical_not(empty),
-    )
-    right = base_fetch(jnp.minimum(srcc + 1, n - 1), hp)
-    L = jax.tree_util.tree_leaves(x_row)[0].shape[-1]
-
-    def to_rows(P):
-        """(x [L, g, m], y, inf) -> point-major rows [g, m, 2L] + inf.
-
-        Slot values persist between levels point-major so each gathered
-        point is ONE contiguous 2L-limb row (x|y) — minor-axis element
-        gathers on limb-major arrays were ~7x the whole phase's
-        arithmetic."""
-        x3, y3, i3 = P
-        rows = jnp.concatenate(
-            [jnp.moveaxis(x3, 0, -1), jnp.moveaxis(y3, 0, -1)], axis=-1
+        pt = jnp.take_along_axis(order_signed, slot_idx, axis=1)
+        rows = jax.vmap(lambda i: xy_rows[i])(
+            (pt & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         )
-        return rows, i3
-
-    Vrow, Vinf = to_rows(curve.affine_add(left, right, inv_fn))
-    run = jnp.where(empty, sentinel_run,
-                    jnp.take_along_axis(run, srcc, axis=1))
-    rank = jnp.take_along_axis(rank, srcc, axis=1) >> 1
-    m = m1
-
-    def slot_fetch(slot_idx, slot_valid):
-        rows = jnp.take_along_axis(Vrow, slot_idx[:, :, None], axis=1)
         gx = jnp.moveaxis(rows[..., :L], -1, 0)
         gy = jnp.moveaxis(rows[..., L:], -1, 0)
-        ginf = jnp.take_along_axis(Vinf, slot_idx, axis=1)
-        return (gx, gy, jnp.logical_or(ginf, jnp.logical_not(slot_valid)))
+        gy = B.select((pt >> 31) != 0, B.neg(gy), gy)
+        return (gx, gy, jnp.logical_not(slot_valid))
 
-    # ---- levels 1..: pair-add within the compacted slot array
+    metaL = rows_take(meta0, srcc)  # [g, m1, 3]
+    runL = jnp.where(empty, sent, metaL[..., 0])
+    rankL = metaL[..., 1] >> 1
+    hp = jnp.logical_and(metaL[..., 2] != 0, jnp.logical_not(empty))
+    left = base_fetch(srcc, jnp.logical_not(empty))
+    right = base_fetch(jnp.minimum(srcc + 1, n - 1), hp)
+    V = pack_rows(curve.affine_add(left, right, inv_fn), runL, rankL)
+    m = m1
+
+    # ---- levels 1..: pair-add within the packed compacted slot array
     level = 1
     while True:
         m_next = min(m, (n >> (level + 1)) + n_buckets)
@@ -503,61 +524,63 @@ def _affine_tree_buckets(curve, x_row, y_row, order, is_neg, start, counts,
             # <25% shrink: runs are short (counts ~ 1-2); the lockstep
             # rounds below finish them cheaper than more ~B-wide levels.
             break
+        run = V[..., 2 * L + 1]
+        rank = V[..., 2 * L + 2]
         dst2src, has_partner, counts_b = pair_plan(
-            rank, run, counts_b, m_next, m)
+            run, rank, counts_b, m_next, m)
         empty = dst2src >= m
-        srcc = jnp.minimum(dst2src, m - 1)
-        left = slot_fetch(srcc, jnp.logical_not(empty))
+        srcc = jnp.minimum(dst2src, m - 1).astype(jnp.int32)
+        rowsL = rows_take(V, srcc)
+        rowsR = rows_take(V, jnp.minimum(srcc + 1, m - 1))
         hp = jnp.logical_and(
             jnp.take_along_axis(has_partner, srcc, axis=1),
             jnp.logical_not(empty),
         )
-        right = slot_fetch(jnp.minimum(srcc + 1, m - 1), hp)
-        Vrow, Vinf = to_rows(curve.affine_add(left, right, inv_fn))
-        run = jnp.where(empty, sentinel_run,
-                        jnp.take_along_axis(run, srcc, axis=1))
-        rank = jnp.take_along_axis(rank, srcc, axis=1) >> 1
+        left = unpack_rows(rowsL, jnp.logical_not(empty))
+        right = unpack_rows(rowsR, hp)
+        runL = jnp.where(empty, sent, rowsL[..., 2 * L + 1])
+        rankL = rowsL[..., 2 * L + 2] >> 1
+        V = pack_rows(curve.affine_add(left, right, inv_fn), runL, rankL)
         m = m_next
         level += 1
 
     # ---- finish: capped lockstep mixed-add rounds over compacted slots
-    start_c = jnp.cumsum(counts_b, axis=1) - counts_b  # [g, B]
+    start_c = (jnp.cumsum(counts_b, axis=1) - counts_b).astype(jnp.int32)
+    counts_i = counts_b.astype(jnp.int32)
 
     def slot_round(r, acc):
         pos = jnp.minimum(start_c + r, m - 1)
-        validr = r < counts_b
-        gx, gy, ginf = slot_fetch(pos, validr)
-        return curve.add_mixed(acc, (gx, gy, ginf))
+        validr = r < counts_i
+        rows = rows_take(V, pos)
+        return curve.add_mixed(acc, unpack_rows(rows, validr))
 
     zero_pt = curve.zero((g, n_buckets))
-    counts_f = counts_b.reshape(-1)
-    rounds_max = jnp.max(counts_f)
+    counts_f = counts_i.reshape(-1)
+    rounds_max = jnp.max(counts_f).astype(jnp.int32)
     WB = g * n_buckets
     K = min(max(64, WB // 16), WB)
     if WB > 2 * K:
-        rounds_full = jnp.sort(counts_f)[WB - K]
+        rounds_full = jnp.sort(counts_f)[WB - K].astype(jnp.int32)
     else:
         rounds_full = rounds_max
     buckets = jax.lax.fori_loop(0, rounds_full, slot_round, zero_pt)
     if WB > 2 * K:
         buckets = _drain_slot_tail(
-            curve, buckets, Vrow, Vinf, L, counts_f, start_c, rounds_full,
+            curve, buckets, V, L, counts_f, start_c, rounds_full,
             rounds_max, g, n_buckets, m, K)
     return buckets
 
 
-def _drain_slot_tail(curve, buckets, Vrow, Vinf, L, counts_f, start_c, r0,
-                     r1, g, n_buckets, m, K):
+def _drain_slot_tail(curve, buckets, V, L, counts_f, start_c, r0, r1, g,
+                     n_buckets, m, K):
     """Finish the <= K-1 overfull (window, bucket) pairs left by the
     capped lockstep loop over compacted slots (same scheme as
-    _drain_bucket_tail, reading point-major slot rows instead of
-    bases)."""
-    surv = jnp.argsort(-counts_f)[:K]
+    _drain_bucket_tail, reading packed point-major slot rows)."""
+    surv = jnp.argsort(-counts_f.astype(jnp.int32))[:K]
     w_idx = surv // n_buckets
     start_cc = start_c.reshape(-1)[surv]
     counts_cc = counts_f[surv]
-    VrowF = Vrow.reshape(-1, Vrow.shape[-1])  # [g*m, 2L]
-    VinfF = Vinf.reshape(-1)
+    VF = V.reshape(-1, V.shape[-1])  # [g*m, 2L+3]
 
     compact = tuple(
         jax.tree_util.tree_map(
@@ -569,11 +592,11 @@ def _drain_slot_tail(curve, buckets, Vrow, Vinf, L, counts_f, start_c, r0,
     def body(r, acc):
         pos = jnp.minimum(start_cc + r, m - 1)
         validr = r < counts_cc
-        flat = w_idx * m + pos
-        rows = VrowF[flat]  # [K, 2L]
+        rows = VF[w_idx * m + pos]  # [K, 2L+3]
         gx = jnp.moveaxis(rows[..., :L], -1, 0)
-        gy = jnp.moveaxis(rows[..., L:], -1, 0)
-        ginf = jnp.logical_or(VinfF[flat], jnp.logical_not(validr))
+        gy = jnp.moveaxis(rows[..., L : 2 * L], -1, 0)
+        ginf = jnp.logical_or(rows[..., 2 * L] != 0,
+                              jnp.logical_not(validr))
         return curve.add_mixed(acc, (gx, gy, ginf))
 
     compact = jax.lax.fori_loop(r0, r1, body, compact)
@@ -673,6 +696,13 @@ def _weighted_tree_reduce(curve, P):
         suffix = _hs_suffix_scan(curve, P, B)
         summed = _hs_suffix_scan(curve, suffix, B)  # sum_k sum_{j>=k}
         return curve.index_point(summed, (slice(None), 0))
+
+    if hasattr(curve, "affine_add"):
+        # run the merge tree in AFFINE coordinates: chord/tangent adds
+        # with amortized batched inversion (~7 muls) instead of full
+        # Jacobian adds (~25) — one up-front normalization of the
+        # bucket array buys every tree level
+        return _weighted_tree_reduce_affine(curve, P)
     # first merge specialized: leaf Wt = 0 and U = S, so
     # Wt1 = S_odd, T1 = S_even + S_odd, U1 = double(T1).
     even, odd = split(P)
@@ -688,6 +718,39 @@ def _weighted_tree_reduce(curve, P):
         width //= 2
     total = curve.add(Wt, T)
     return curve.index_point(total, (slice(None), 0))
+
+
+def _weighted_tree_reduce_affine(curve, P):
+    """The (T, Wt, U) weighted merge tree of _weighted_tree_reduce, run
+    on affine representatives: each merge op is a batched chord/tangent
+    add.  Returns the [W] window sums as Jacobian points."""
+    inv_fn = _batched_inv_fn(curve.base)
+
+    def add(A, C):
+        return curve.affine_add(A, C, inv_fn)
+
+    def split(Q):
+        even = tuple(a[..., 0::2] for a in Q)
+        odd = tuple(a[..., 1::2] for a in Q)
+        return even, odd
+
+    A = curve.to_affine(P)  # one batched inversion for the whole array
+    even, odd = split(A)
+    Wt = odd
+    T = add(even, odd)
+    U = add(T, T)
+    width = jax.tree_util.tree_leaves(A)[0].shape[-1] // 2
+    while width > 1:
+        (Te, To), (We, Wo), (Ue, Uo) = split(T), split(Wt), split(U)
+        Wt = add(add(We, Wo), Uo)
+        T = add(Te, To)
+        Us = add(Ue, Uo)
+        U = add(Us, Us)
+        width //= 2
+    total = add(Wt, T)
+    return curve.from_affine(
+        tuple(a[..., 0] for a in total[:2]) + (total[2][..., 0],)
+    )
 
 
 def _hs_suffix_scan(curve, P, B: int):

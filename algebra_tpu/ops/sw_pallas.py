@@ -157,6 +157,144 @@ def _add_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
     zo[...] = Z3
 
 
+def _lm_const(limbs, nb):
+    """Python limb list -> [L, nb] broadcast constant (kernels cannot
+    capture array constants; scalar fills are fine)."""
+    return jnp.concatenate(
+        [jnp.full((1, nb), int(v), jnp.uint32) for v in limbs], axis=0
+    )
+
+
+def _aff_cases(spec, x1, y1, i1, x2, y2, i2):
+    """Shared branchless case analysis for the affine chord/tangent add:
+    (d = x2 - x1, dbl, opp, degenerate)."""
+    d = _lm_sub(spec, x2, x1)
+    same_x = _lm_is_zero(d)
+    y_eq = (y1 == y2).all(axis=0)  # canonical reps: bit-equality
+    y1z = _lm_is_zero(y1)
+    dbl = jnp.logical_and(same_x, jnp.logical_and(y_eq,
+                                                  jnp.logical_not(y1z)))
+    opp = jnp.logical_and(same_x, jnp.logical_not(dbl))
+    degen = jnp.logical_or(jnp.logical_or(i1, i2), opp)
+    return d, dbl, opp, degen
+
+
+def _aff_denom_kernel(spec: FieldSpec, x1r, y1r, i1r, x2r, y2r, i2r, dref):
+    """Denominator of the affine-add slope: x2-x1 (chord), 2*y1
+    (tangent), or 1 for degenerate lanes (keeps the batched inversion
+    well-defined).  No field muls — this kernel exists so the ~8
+    elementwise temporaries live in VMEM, not HBM."""
+    x1, y1 = x1r[...], y1r[...]
+    x2, y2 = x2r[...], y2r[...]
+    i1 = i1r[...][0] != 0
+    i2 = i2r[...][0] != 0
+    d, dbl, opp, degen = _aff_cases(spec, x1, y1, i1, x2, y2, i2)
+    denom = _sel(dbl, _lm_add(spec, y1, y1), d)
+    one = _lm_const(spec.one_mont_limbs, x1.shape[1])
+    dref[...] = _sel(degen, one, denom)
+
+
+def _aff_post_kernel(spec: FieldSpec, a_mont, x1r, y1r, i1r, x2r, y2r, i2r,
+                     invr, xo, yo, io):
+    """Completes the affine add given the batched-inverted denominators:
+    lam = num * inv;  x3 = lam^2 - x1 - x2;  y3 = lam*(x1-x3) - y1;
+    exceptional-case selects identical to SWCurve.affine_add."""
+    x1, y1 = x1r[...], y1r[...]
+    x2, y2 = x2r[...], y2r[...]
+    i1 = i1r[...][0] != 0
+    i2 = i2r[...][0] != 0
+    inv = invr[...]
+    d, dbl, opp, degen = _aff_cases(spec, x1, y1, i1, x2, y2, i2)
+    x1sq = _lm_sq(spec, x1)
+    three = _lm_add(spec, _lm_add(spec, x1sq, x1sq), x1sq)
+    if a_mont is not None:
+        three = _lm_add(spec, three, _lm_const(a_mont, x1.shape[1]))
+    num = _sel(dbl, three, _lm_sub(spec, y2, y1))
+    lam = _lm_mul(spec, num, inv)
+    x3 = _lm_sub(spec, _lm_sub(spec, _lm_sq(spec, lam), x1), x2)
+    y3 = _lm_sub(spec, _lm_mul(spec, lam, _lm_sub(spec, x1, x3)), y1)
+    x3 = _sel(i1, x2, _sel(i2, x1, x3))
+    y3 = _sel(i1, y2, _sel(i2, y1, y3))
+    # where(i1, i2, where(i2, i1, opp)) as pure logical ops — mosaic
+    # cannot lower bool-operand select_n on 1-D vectors
+    inf3 = jnp.logical_or(
+        jnp.logical_and(i1, i2),
+        jnp.logical_and(jnp.logical_not(i1),
+                        jnp.logical_and(jnp.logical_not(i2), opp)),
+    )
+    xo[...] = x3
+    yo[...] = y3
+    io[...] = inf3.astype(jnp.uint32)[None, :]
+
+
+AFFINE_BLOCK = 512
+
+
+@functools.lru_cache(maxsize=None)
+def _aff_denom_call(spec: FieldSpec, n: int, block: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    grid = (n // block,)
+    dspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_aff_denom_kernel, spec),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=grid,
+        in_specs=[dspec, dspec, mspec, dspec, dspec, mspec],
+        out_specs=dspec,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _aff_post_call(spec: FieldSpec, a_mont, n: int, block: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    grid = (n // block,)
+    dspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_aff_post_kernel, spec, a_mont),
+        out_shape=(out, out, jax.ShapeDtypeStruct((1, n), jnp.uint32)),
+        grid=grid,
+        in_specs=[dspec, dspec, mspec, dspec, dspec, mspec, dspec],
+        out_specs=(dspec, dspec, mspec),
+    )
+
+
+def affine_add(spec: FieldSpec, a_mont, P, Q, inv_fn,
+               block: int = AFFINE_BLOCK):
+    """Fused batched affine chord/tangent addition (x, y, inf) + (x, y,
+    inf) -> (x, y, inf): denominator kernel -> batched inversion ->
+    completion kernel.  Bit-identical to SWCurve.affine_add's jnp path;
+    ~7 field muls/lane with all elementwise temporaries in VMEM.
+
+    a_mont: tuple of Montgomery limbs of the curve's `a`, or None when
+    a == 0."""
+    x1, y1, inf1 = P
+    x2, y2, inf2 = Q
+    i1 = jnp.broadcast_to(inf1, x1.shape[1:]).astype(jnp.uint32)[None]
+    i2 = jnp.broadcast_to(inf2, x2.shape[1:]).astype(jnp.uint32)[None]
+    arrs = [x1, y1, i1, x2, y2, i2]
+    flat, batch, n, padded = _flatten(spec, arrs, block)
+    fx1, fy1, fi1, fx2, fy2, fi2 = flat
+    denom = _aff_denom_call(spec, padded, block)(fx1, fy1, fi1, fx2, fy2, fi2)
+    inv = inv_fn(denom)
+    xo, yo, io = _aff_post_call(spec, a_mont, padded, block)(
+        fx1, fy1, fi1, fx2, fy2, fi2, inv)
+    L = spec.n_limbs
+    return (
+        xo[:, :n].reshape((L,) + batch),
+        yo[:, :n].reshape((L,) + batch),
+        (io[0, :n] != 0).reshape(batch),
+    )
+
+
 DEFAULT_BLOCK = 128  # ~25 live [L, N] temporaries must fit 16MB VMEM
 
 
