@@ -353,8 +353,13 @@ class SWCurve:
     def sub(self, P, Q):
         return self.add(P, self.neg(Q))
 
-    def affine_add(self, P, Q, inv_fn):
+    def affine_add(self, P, Q, inv_fn, neg1=None, neg2=None):
         """Branchless affine + affine -> affine addition.
+
+        ``neg1``/``neg2``: optional boolean masks negating the y of the
+        corresponding operand first (the MSM level-0 digit signs) —
+        folded into the kernels so no separate [L, n] negate/select
+        passes hit HBM.
 
         ``inv_fn`` supplies batched field inversion (amortized to ~3
         muls/lane by ops/mont_pallas.batch_inverse), making this ~7
@@ -388,9 +393,14 @@ class SWCurve:
                     a_mont = tuple(int(v) for v in int_to_limbs(
                         (int(self.a_host) * spec.R) % spec.modulus,
                         spec.n_limbs))
-                return sw_pallas.affine_add(B.spec, a_mont, P, Q, inv_fn)
+                return sw_pallas.affine_add(B.spec, a_mont, P, Q, inv_fn,
+                                            neg1=neg1, neg2=neg2)
         x1, y1, i1 = P
         x2, y2, i2 = Q
+        if neg1 is not None:
+            y1 = B.select(neg1, B.neg(y1), y1)
+        if neg2 is not None:
+            y2 = B.select(neg2, B.neg(y2), y2)
         d = B.sub(x2, x1)
         same_x = B.is_zero(d)
         y_eq = B.equal(y1, y2)

@@ -193,7 +193,6 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
     # HBM.  Only `order` (the gather permutation) and `is_neg` persist
     # for all windows.
     group = max(1, min(num_windows, (1 << 26) // max(n, 1)))
-    bucket_ids = jnp.arange(n_buckets, dtype=jnp.uint32)  # [B]
 
     def recode_group(g0, g1):
         digits = signed_digits(scalars, c, num_windows, last_unsigned=True,
@@ -209,12 +208,21 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         )  # [g, n]
         order_g = jnp.argsort(key, axis=1).astype(jnp.uint32)  # [g, n]
         sorted_key = jnp.take_along_axis(key, order_g, axis=1)
-        start_g = jax.vmap(
-            lambda row: jnp.searchsorted(row, bucket_ids, side="left")
-        )(sorted_key).astype(jnp.int32)
-        counts_g = (jax.vmap(
-            lambda row: jnp.searchsorted(row, bucket_ids, side="right")
-        )(sorted_key).astype(jnp.int32) - start_g)
+        # run starts/counts WITHOUT searchsorted (whose binary-search
+        # while loop costs ~19 gathers of [g, B]): scatter-min the first
+        # occurrence position of each key (incl. the inactive sentinel
+        # column B), reverse-cummin to fill empty buckets with the next
+        # run's start, and difference for the counts.
+        g_sz = sorted_key.shape[0]
+        first = jnp.full((g_sz, n_buckets + 2), n, jnp.int32)
+        first = first.at[
+            jnp.arange(g_sz, dtype=jnp.int32)[:, None],
+            sorted_key.astype(jnp.int32),
+        ].min(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                               sorted_key.shape))
+        ext = jax.lax.cummin(first[:, ::-1], axis=1)[:, ::-1]
+        start_g = ext[:, :n_buckets]
+        counts_g = ext[:, 1 : n_buckets + 1] - start_g
         return order_g, isneg_g, sorted_key, start_g, counts_g
 
     from .. import config
@@ -498,22 +506,26 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
         [run0, rank0, has_partner.astype(jnp.uint32)], axis=-1)
 
     def base_fetch(slot_idx, slot_valid):
+        """Returns ((x, y_raw, inf), neg_mask) — the digit sign rides
+        the permutation's top bit and is applied IN the fused affine
+        kernel (a separate [L, m] negate/select pass costs real HBM)."""
         pt = jnp.take_along_axis(order_signed, slot_idx, axis=1)
         rows = jax.vmap(lambda i: xy_rows[i])(
             (pt & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         )
         gx = jnp.moveaxis(rows[..., :L], -1, 0)
         gy = jnp.moveaxis(rows[..., L:], -1, 0)
-        gy = B.select((pt >> 31) != 0, B.neg(gy), gy)
-        return (gx, gy, jnp.logical_not(slot_valid))
+        return (gx, gy, jnp.logical_not(slot_valid)), (pt >> 31) != 0
 
     metaL = rows_take(meta0, srcc)  # [g, m1, 3]
     runL = jnp.where(empty, sent, metaL[..., 0])
     rankL = metaL[..., 1] >> 1
     hp = jnp.logical_and(metaL[..., 2] != 0, jnp.logical_not(empty))
-    left = base_fetch(srcc, jnp.logical_not(empty))
-    right = base_fetch(jnp.minimum(srcc + 1, n - 1), hp)
-    V = pack_rows(curve.affine_add(left, right, inv_fn), runL, rankL)
+    left, neg_l = base_fetch(srcc, jnp.logical_not(empty))
+    right, neg_r = base_fetch(jnp.minimum(srcc + 1, n - 1), hp)
+    V = pack_rows(
+        curve.affine_add(left, right, inv_fn, neg1=neg_l, neg2=neg_r),
+        runL, rankL)
     m = m1
 
     # ---- levels 1..: pair-add within the packed compacted slot array

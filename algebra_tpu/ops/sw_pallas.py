@@ -165,6 +165,14 @@ def _lm_const(limbs, nb):
     )
 
 
+def _aff_neg(spec, y, negr):
+    """In-kernel conditional y -> -y (0 - y mod p; maps 0 to 0)."""
+    if negr is None:
+        return y
+    mask = negr[...][0] != 0
+    return _sel(mask, _lm_sub(spec, jnp.zeros_like(y), y), y)
+
+
 def _aff_cases(spec, x1, y1, i1, x2, y2, i2):
     """Shared branchless case analysis for the affine chord/tangent add:
     (d = x2 - x1, dbl, opp, degenerate)."""
@@ -179,13 +187,15 @@ def _aff_cases(spec, x1, y1, i1, x2, y2, i2):
     return d, dbl, opp, degen
 
 
-def _aff_denom_kernel(spec: FieldSpec, x1r, y1r, i1r, x2r, y2r, i2r, dref):
+def _aff_denom_kernel(spec: FieldSpec, has_neg, x1r, y1r, i1r, x2r, y2r,
+                      i2r, *rest):
     """Denominator of the affine-add slope: x2-x1 (chord), 2*y1
     (tangent), or 1 for degenerate lanes (keeps the batched inversion
     well-defined).  No field muls — this kernel exists so the ~8
     elementwise temporaries live in VMEM, not HBM."""
-    x1, y1 = x1r[...], y1r[...]
-    x2, y2 = x2r[...], y2r[...]
+    (n1r, n2r, dref) = rest if has_neg else (None, None, rest[0])
+    x1, y1 = x1r[...], _aff_neg(spec, y1r[...], n1r)
+    x2, y2 = x2r[...], _aff_neg(spec, y2r[...], n2r)
     i1 = i1r[...][0] != 0
     i2 = i2r[...][0] != 0
     d, dbl, opp, degen = _aff_cases(spec, x1, y1, i1, x2, y2, i2)
@@ -194,13 +204,18 @@ def _aff_denom_kernel(spec: FieldSpec, x1r, y1r, i1r, x2r, y2r, i2r, dref):
     dref[...] = _sel(degen, one, denom)
 
 
-def _aff_post_kernel(spec: FieldSpec, a_mont, x1r, y1r, i1r, x2r, y2r, i2r,
-                     invr, xo, yo, io):
+def _aff_post_kernel(spec: FieldSpec, a_mont, has_neg, x1r, y1r, i1r, x2r,
+                     y2r, i2r, *rest):
     """Completes the affine add given the batched-inverted denominators:
     lam = num * inv;  x3 = lam^2 - x1 - x2;  y3 = lam*(x1-x3) - y1;
     exceptional-case selects identical to SWCurve.affine_add."""
-    x1, y1 = x1r[...], y1r[...]
-    x2, y2 = x2r[...], y2r[...]
+    if has_neg:
+        n1r, n2r, invr, xo, yo, io = rest
+    else:
+        invr, xo, yo, io = rest
+        n1r = n2r = None
+    x1, y1 = x1r[...], _aff_neg(spec, y1r[...], n1r)
+    x2, y2 = x2r[...], _aff_neg(spec, y2r[...], n2r)
     i1 = i1r[...][0] != 0
     i2 = i2r[...][0] != 0
     inv = invr[...]
@@ -231,7 +246,7 @@ AFFINE_BLOCK = 512
 
 
 @functools.lru_cache(maxsize=None)
-def _aff_denom_call(spec: FieldSpec, n: int, block: int):
+def _aff_denom_call(spec: FieldSpec, n: int, block: int, has_neg: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -239,17 +254,21 @@ def _aff_denom_call(spec: FieldSpec, n: int, block: int):
     grid = (n // block,)
     dspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ins = [dspec, dspec, mspec, dspec, dspec, mspec]
+    if has_neg:
+        ins += [mspec, mspec]
     return pl.pallas_call(
-        functools.partial(_aff_denom_kernel, spec),
+        functools.partial(_aff_denom_kernel, spec, has_neg),
         out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
         grid=grid,
-        in_specs=[dspec, dspec, mspec, dspec, dspec, mspec],
+        in_specs=ins,
         out_specs=dspec,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _aff_post_call(spec: FieldSpec, a_mont, n: int, block: int):
+def _aff_post_call(spec: FieldSpec, a_mont, n: int, block: int,
+                   has_neg: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -258,16 +277,19 @@ def _aff_post_call(spec: FieldSpec, a_mont, n: int, block: int):
     dspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    ins = [dspec, dspec, mspec, dspec, dspec, mspec]
+    if has_neg:
+        ins += [mspec, mspec]
     return pl.pallas_call(
-        functools.partial(_aff_post_kernel, spec, a_mont),
+        functools.partial(_aff_post_kernel, spec, a_mont, has_neg),
         out_shape=(out, out, jax.ShapeDtypeStruct((1, n), jnp.uint32)),
         grid=grid,
-        in_specs=[dspec, dspec, mspec, dspec, dspec, mspec, dspec],
+        in_specs=ins + [dspec],
         out_specs=(dspec, dspec, mspec),
     )
 
 
-def affine_add(spec: FieldSpec, a_mont, P, Q, inv_fn,
+def affine_add(spec: FieldSpec, a_mont, P, Q, inv_fn, neg1=None, neg2=None,
                block: int = AFFINE_BLOCK):
     """Fused batched affine chord/tangent addition (x, y, inf) + (x, y,
     inf) -> (x, y, inf): denominator kernel -> batched inversion ->
@@ -275,18 +297,28 @@ def affine_add(spec: FieldSpec, a_mont, P, Q, inv_fn,
     ~7 field muls/lane with all elementwise temporaries in VMEM.
 
     a_mont: tuple of Montgomery limbs of the curve's `a`, or None when
-    a == 0."""
+    a == 0.  neg1/neg2: optional bool masks negating the operand's y
+    in-kernel."""
     x1, y1, inf1 = P
     x2, y2, inf2 = Q
     i1 = jnp.broadcast_to(inf1, x1.shape[1:]).astype(jnp.uint32)[None]
     i2 = jnp.broadcast_to(inf2, x2.shape[1:]).astype(jnp.uint32)[None]
+    has_neg = neg1 is not None or neg2 is not None
     arrs = [x1, y1, i1, x2, y2, i2]
+    if has_neg:
+        zero = jnp.zeros(x1.shape[1:], jnp.uint32)
+        n1 = zero if neg1 is None else neg1.astype(jnp.uint32)
+        n2 = zero if neg2 is None else neg2.astype(jnp.uint32)
+        arrs += [jnp.broadcast_to(n1, x1.shape[1:])[None],
+                 jnp.broadcast_to(n2, x2.shape[1:])[None]]
     flat, batch, n, padded = _flatten(spec, arrs, block)
-    fx1, fy1, fi1, fx2, fy2, fi2 = flat
-    denom = _aff_denom_call(spec, padded, block)(fx1, fy1, fi1, fx2, fy2, fi2)
+    fx1, fy1, fi1, fx2, fy2, fi2 = flat[:6]
+    extra = flat[6:]
+    denom = _aff_denom_call(spec, padded, block, has_neg)(
+        fx1, fy1, fi1, fx2, fy2, fi2, *extra)
     inv = inv_fn(denom)
-    xo, yo, io = _aff_post_call(spec, a_mont, padded, block)(
-        fx1, fy1, fi1, fx2, fy2, fi2, inv)
+    xo, yo, io = _aff_post_call(spec, a_mont, padded, block, has_neg)(
+        fx1, fy1, fi1, fx2, fy2, fi2, *extra, inv)
     L = spec.n_limbs
     return (
         xo[:, :n].reshape((L,) + batch),
