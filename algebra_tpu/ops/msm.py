@@ -528,18 +528,24 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
         runL, rankL)
     m = m1
 
-    # ---- levels 1..: pair-add within the packed compacted slot array
-    level = 1
-    while True:
-        m_next = min(m, (n >> (level + 1)) + n_buckets)
-        if m_next >= m - (m >> 2):
-            # <25% shrink: runs are short (counts ~ 1-2); the lockstep
-            # rounds below finish them cheaper than more ~B-wide levels.
-            break
+    # ---- levels 1..: pair-add within the packed slot array at FIXED
+    # width m1, so every level reuses the SAME compiled affine_add and
+    # inversion kernels as level 0 (each distinct Pallas shape costs
+    # ~0.5-1 min through the axon remote Mosaic compiler — far more
+    # than the gather work compaction would save).  The slot layout is
+    # still compacted each level (dead slots ride at the tail, masked).
+    # Halve until the expected per-bucket occupancy n/(B*2^level)
+    # reaches the lockstep loop's sweet spot (~a few rounds).
+    occ = max(1, n // (2 * n_buckets))  # expected occupancy after lvl 0
+    levels = 0
+    while occ > 6 and levels < 5:
+        occ //= 2
+        levels += 1
+    for _ in range(levels):
         run = V[..., 2 * L + 1]
         rank = V[..., 2 * L + 2]
         dst2src, has_partner, counts_b = pair_plan(
-            run, rank, counts_b, m_next, m)
+            run, rank, counts_b, m, m)
         empty = dst2src >= m
         srcc = jnp.minimum(dst2src, m - 1).astype(jnp.int32)
         rowsL = rows_take(V, srcc)
@@ -553,8 +559,6 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
         runL = jnp.where(empty, sent, rowsL[..., 2 * L + 1])
         rankL = rowsL[..., 2 * L + 2] >> 1
         V = pack_rows(curve.affine_add(left, right, inv_fn), runL, rankL)
-        m = m_next
-        level += 1
 
     # ---- finish: capped lockstep mixed-add rounds over compacted slots
     start_c = (jnp.cumsum(counts_b, axis=1) - counts_b).astype(jnp.int32)
@@ -672,125 +676,72 @@ def _drain_bucket_tail(curve, base, buckets, counts_f, r0, r1, order, start,
 def _weighted_tree_reduce(curve, P):
     """Weighted bucket reduction  sum_k (k+1) * S_k  along the last
     batch axis of a [W, B] bucket array (B a power of two), as a
-    pairwise merge tree.
+    blocked double suffix-accumulate scan.
 
-    Each node carries (T, Wt, U) for its bucket segment: T = plain sum,
-    Wt = sum of locally-0-based-weighted points, U = h * T with h the
-    segment size.  Merging left+right (size h each):
-        Wt' = Wt_L + Wt_R + U_R        (right half's weights shift by h)
-        T'  = T_L + T_R
-        U'  = 2h * T' = double(U_L + U_R)
-    Total work ~ (4 adds + 1 dbl) * W * (B/2 + B/4 + ...) ~ 5*W*B
-    lane-ops in geometrically shrinking widths — the serial-equivalent
-    of the reference's suffix loop (variable_base/mod.rs:124-130).
-    Returns the [W] window sums  Wt_final + T_final.
+    Split k = b*G + i (blocks of G ~ sqrt(B) buckets):
+        sum_k (k+1) S_k = sum_b innerW_b + G * sum_b b * T_b
+    where T_b is block b's plain sum and innerW_b its locally
+    (i+1)-weighted sum.  The inner scan (i descending, 2 adds/step on
+    [W, B/G] lanes) yields T and innerW for every block at once; the
+    outer scan (b descending, 3 adds/step on [W] lanes) accumulates
+    sum_b b*T_b and sum_b innerW_b; log2(G) doublings apply the G.
+
+    ~2*W*B lane-adds total — the same order as a pairwise merge tree —
+    but exactly TWO compiled add bodies regardless of B.  Shrinking-
+    width trees compile a distinct body per level, which XLA:CPU pays
+    through LLVM (~1 min/level) and TPU pays ~0.5-1 min/level through
+    the axon remote Mosaic compiler; this replaces the reference's
+    serial suffix loop (variable_base/mod.rs:124-130) either way.
+    Returns the [W] window sums.
     """
-
-    def split(Q):
-        even = tuple(
-            jax.tree_util.tree_map(lambda a: a[..., 0::2], coord) for coord in Q
-        )
-        odd = tuple(
-            jax.tree_util.tree_map(lambda a: a[..., 1::2], coord) for coord in Q
-        )
-        return even, odd
-
-    B = jax.tree_util.tree_leaves(P)[0].shape[-1]
+    leaves = jax.tree_util.tree_leaves(P)
+    W, B = leaves[0].shape[-2], leaves[0].shape[-1]
     if B == 1:
         return curve.index_point(P, (slice(None), 0))
-    from .. import config
+    G = min(B, 1 << (((B - 1).bit_length() + 1) // 2))  # ~sqrt(B), pow2
+    nb = B // G
 
-    if not config.pallas_enabled():
-        # XLA:CPU compiles each distinct-shape add body through LLVM at
-        # great expense (~1 min per level at B=128); the scanned
-        # suffix-scan reduction compiles ONE body.  TPU compiles fast
-        # and is runtime-bound, so it takes the O(B) tree below.
-        suffix = _hs_suffix_scan(curve, P, B)
-        summed = _hs_suffix_scan(curve, suffix, B)  # sum_k sum_{j>=k}
-        return curve.index_point(summed, (slice(None), 0))
-
-    if hasattr(curve, "affine_add"):
-        # run the merge tree in AFFINE coordinates: chord/tangent adds
-        # with amortized batched inversion (~7 muls) instead of full
-        # Jacobian adds (~25) — one up-front normalization of the
-        # bucket array buys every tree level
-        return _weighted_tree_reduce_affine(curve, P)
-    # first merge specialized: leaf Wt = 0 and U = S, so
-    # Wt1 = S_odd, T1 = S_even + S_odd, U1 = double(T1).
-    even, odd = split(P)
-    Wt = odd
-    T = curve.add(even, odd)
-    U = curve.double(T)
-    width = B // 2
-    while width > 1:
-        (Te, To), (We, Wo), (Ue, Uo) = split(T), split(Wt), split(U)
-        Wt = curve.add(curve.add(We, Wo), Uo)
-        T = curve.add(Te, To)
-        U = curve.double(curve.add(Ue, Uo))
-        width //= 2
-    total = curve.add(Wt, T)
-    return curve.index_point(total, (slice(None), 0))
-
-
-def _weighted_tree_reduce_affine(curve, P):
-    """The (T, Wt, U) weighted merge tree of _weighted_tree_reduce, run
-    on affine representatives: each merge op is a batched chord/tangent
-    add.  Returns the [W] window sums as Jacobian points."""
-    inv_fn = _batched_inv_fn(curve.base)
-
-    def add(A, C):
-        return curve.affine_add(A, C, inv_fn)
-
-    def split(Q):
-        even = tuple(a[..., 0::2] for a in Q)
-        odd = tuple(a[..., 1::2] for a in Q)
-        return even, odd
-
-    A = curve.to_affine(P)  # one batched inversion for the whole array
-    even, odd = split(A)
-    Wt = odd
-    T = add(even, odd)
-    U = add(T, T)
-    width = jax.tree_util.tree_leaves(A)[0].shape[-1] // 2
-    while width > 1:
-        (Te, To), (We, Wo), (Ue, Uo) = split(T), split(Wt), split(U)
-        Wt = add(add(We, Wo), Uo)
-        T = add(Te, To)
-        Us = add(Ue, Uo)
-        U = add(Us, Us)
-        width //= 2
-    total = add(Wt, T)
-    return curve.from_affine(
-        tuple(a[..., 0] for a in total[:2]) + (total[2][..., 0],)
-    )
-
-
-def _hs_suffix_scan(curve, P, B: int):
-    """Inclusive suffix scan S_k = sum_{m >= k} P_m along axis 1 via
-    Hillis–Steele doubling: log2(B) steps, each one batched add of the
-    full [W, B] point array with out-of-range lanes forced to infinity
-    (z = 0).  The steps run as a lax.scan over the shift distances so
-    XLA compiles ONE add body regardless of B."""
-    shifts = jnp.asarray(
-        [1 << i for i in range((B - 1).bit_length())], dtype=jnp.int32
-    )
-    col = jnp.arange(B)
-
-    def step(Q, d):
-        shifted = tuple(
-            jax.tree_util.tree_map(lambda a: jnp.roll(a, -d, axis=2), coord)
-            for coord in Q
+    # leaves [L, W, B] -> scan layout [G, L, W, nb] (scan consumes axis 0)
+    Pr = tuple(
+        jax.tree_util.tree_map(
+            lambda a: jnp.moveaxis(
+                a.reshape(a.shape[:-1] + (nb, G)), -1, 0
+            ),
+            coord,
         )
-        valid = col + d < B  # [B], right-aligns against [L, W, B]
-        # force wrapped lanes to the identity: z = 0 marks infinity
-        x, y, z = shifted
-        z = jax.tree_util.tree_map(
-            lambda a: jnp.where(valid, a, jnp.zeros_like(a)), z
-        )
-        return curve.add(Q, (x, y, z)), None
+        for coord in P
+    )
+    zb = curve.zero((W, nb))
 
-    P, _ = jax.lax.scan(step, P, shifts)
-    return P
+    def inner(carry, s):
+        accT, accW = carry
+        accT = curve.add(accT, tuple(s))  # suffix sum within the block
+        accW = curve.add(accW, accT)  # sum of suffixes = (i+1)-weighted
+        return (accT, accW), None
+
+    (T, innerW), _ = jax.lax.scan(inner, (zb, zb), Pr, reverse=True)
+
+    # leaves [L, W, nb] -> [nb, L, W]
+    to_scan = lambda Q: tuple(
+        jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, -1, 0), coord)
+        for coord in Q
+    )
+    zw = curve.zero((W,))
+
+    def outer(carry, s):
+        accT, accB, accI = carry
+        tb, wb = s
+        accB = curve.add(accB, accT)  # += strictly-later suffix -> b*T_b
+        accT = curve.add(accT, tuple(tb))
+        accI = curve.add(accI, tuple(wb))
+        return (accT, accB, accI), None
+
+    (_, accB, accI), _ = jax.lax.scan(
+        outer, (zw, zw, zw), (to_scan(T), to_scan(innerW)), reverse=True
+    )
+    for _ in range(G.bit_length() - 1):  # * G (a power of two)
+        accB = curve.double(accB)
+    return curve.add(accI, accB)
 
 
 def scan_sum(curve, P, axis: int = 0):
