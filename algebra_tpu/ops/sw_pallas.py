@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields.spec import FieldSpec
-from .mont_pallas import _lm_add, _lm_mul, _lm_sq, _lm_sub
+from .mont_pallas import _interp, _lm_add, _lm_mul, _lm_sq, _lm_sub
 
 
 def _lm_dbl(spec, a):
@@ -246,7 +246,8 @@ AFFINE_BLOCK = 512
 
 
 @functools.lru_cache(maxsize=None)
-def _aff_denom_call(spec: FieldSpec, n: int, block: int, has_neg: bool):
+def _aff_denom_call(spec: FieldSpec, n: int, block: int, has_neg: bool,
+                    interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -263,12 +264,13 @@ def _aff_denom_call(spec: FieldSpec, n: int, block: int, has_neg: bool):
         grid=grid,
         in_specs=ins,
         out_specs=dspec,
+        interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _aff_post_call(spec: FieldSpec, a_mont, n: int, block: int,
-                   has_neg: bool):
+                   has_neg: bool, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -286,6 +288,7 @@ def _aff_post_call(spec: FieldSpec, a_mont, n: int, block: int,
         grid=grid,
         in_specs=ins + [dspec],
         out_specs=(dspec, dspec, mspec),
+        interpret=interpret,
     )
 
 
@@ -314,10 +317,11 @@ def affine_add(spec: FieldSpec, a_mont, P, Q, inv_fn, neg1=None, neg2=None,
     flat, batch, n, padded = _flatten(spec, arrs, block)
     fx1, fy1, fi1, fx2, fy2, fi2 = flat[:6]
     extra = flat[6:]
-    denom = _aff_denom_call(spec, padded, block, has_neg)(
+    denom = _aff_denom_call(spec, padded, block, has_neg, _interp())(
         fx1, fy1, fi1, fx2, fy2, fi2, *extra)
     inv = inv_fn(denom)
-    xo, yo, io = _aff_post_call(spec, a_mont, padded, block, has_neg)(
+    xo, yo, io = _aff_post_call(spec, a_mont, padded, block, has_neg,
+                                _interp())(
         fx1, fy1, fi1, fx2, fy2, fi2, *extra, inv)
     L = spec.n_limbs
     return (
@@ -331,7 +335,8 @@ DEFAULT_BLOCK = 128  # ~25 live [L, N] temporaries must fit 16MB VMEM
 
 
 @functools.lru_cache(maxsize=None)
-def _madd_call(spec: FieldSpec, n: int, block: int):
+def _madd_call(spec: FieldSpec, n: int, block: int,
+               interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -346,11 +351,13 @@ def _madd_call(spec: FieldSpec, n: int, block: int):
         grid=grid,
         in_specs=[dspec] * 3 + [dspec, dspec, mspec],
         out_specs=(dspec, dspec, dspec),
+        interpret=interpret,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _add_call(spec: FieldSpec, n: int, block: int):
+def _add_call(spec: FieldSpec, n: int, block: int,
+              interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -364,6 +371,7 @@ def _add_call(spec: FieldSpec, n: int, block: int):
         grid=grid,
         in_specs=[dspec] * 6,
         out_specs=(dspec, dspec, dspec),
+        interpret=interpret,
     )
 
 
@@ -394,7 +402,8 @@ def madd(spec: FieldSpec, P, aff, block: int = DEFAULT_BLOCK):
     (fx1, fy1, fz1, fx2, fy2, finf), batch, n, padded = _flatten(
         spec, [x1, y1, z1, x2b, y2b, infb], block
     )
-    xo, yo, zo = _madd_call(spec, padded, block)(fx1, fy1, fz1, fx2, fy2, finf)
+    xo, yo, zo = _madd_call(spec, padded, block, _interp())(
+        fx1, fy1, fz1, fx2, fy2, finf)
     L = spec.n_limbs
     return (
         xo[:, :n].reshape((L,) + batch),
@@ -407,7 +416,7 @@ def add(spec: FieldSpec, P, Q, block: int = DEFAULT_BLOCK):
     """Fused full Jacobian add."""
     arrs = [jnp.broadcast_to(a, P[0].shape) for a in (*P, *Q)]
     flat, batch, n, padded = _flatten(spec, arrs, block)
-    xo, yo, zo = _add_call(spec, padded, block)(*flat)
+    xo, yo, zo = _add_call(spec, padded, block, _interp())(*flat)
     L = spec.n_limbs
     return (
         xo[:, :n].reshape((L,) + batch),

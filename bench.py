@@ -40,7 +40,11 @@ def main():
     from algebra_tpu.ops import mont
 
     n = 1 << 20
-    reps = 64  # chained muls per kernel launch to amortize dispatch
+    # 8 chained muls per launch amortize dispatch (~3 ms via the axon
+    # tunnel vs ~11 ms compute); reps=64 made the axon REMOTE COMPILE of
+    # the chain program take >20 min — compile scales superlinearly in
+    # call-site count, so keep the program small and loop on the host.
+    reps = 8
 
     rng = np.random.default_rng(1234)
     # random field elements via rejection-free: random 252-bit ints < r
@@ -57,9 +61,13 @@ def main():
         return x
 
     out = chain(a, b)
-    _ = np.asarray(jax.device_get(out))  # compile + warm + full sync
+    # compile + warm + sync.  The warmup MUST include the eager checksum
+    # slice: out[:, 0] is its own XLA program, and an axon remote compile
+    # inside the timed region costs ~0.5s (this was the whole "27%
+    # regression" of rounds 2-3 — the kernel never slowed down).
+    _ = int(np.asarray(jax.device_get(out[:, 0])).sum())
 
-    iters = 4
+    iters = 32
     t0 = time.perf_counter()
     for _ in range(iters):
         out = chain(out, b)

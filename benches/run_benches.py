@@ -56,7 +56,9 @@ def report(metric, value, unit, baseline=None):
     print(json.dumps(rec), flush=True)
 
 
-def bench_field(n=1 << 20, reps=16):
+def bench_field(n=1 << 20, reps=8):
+    # reps > 8: the axon remote compile of the chained program scales
+    # superlinearly in Pallas call sites (NOTES.md round 4)
     import jax
     import jax.numpy as jnp
 

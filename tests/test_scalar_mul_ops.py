@@ -84,3 +84,43 @@ def test_glv_mul(rng):
     k = rng.randrange(c.scalar_modulus)
     got = c.to_host(jax.jit(lambda: glv.glv_mul_host(c, P, k))())
     assert got == c.host_mul(p_host, k)
+
+
+def test_glv_decompose_traced(rng):
+    """Device Babai rounding agrees with the host contract:
+    k == k1 + k2*lam (mod r) and both parts are short."""
+    c = secp256k1.g1()
+    r = c.scalar_modulus
+    n = 16
+    ks = [rng.randrange(r) for _ in range(n)]
+    ks[0] = 0
+    ks[1] = r - 1
+    sc = jnp.asarray(batch_int_to_limbs(ks, c.scalar_modulus.bit_length()
+                                        // 16 + 1))
+    neg1, mag1, neg2, mag2 = jax.jit(
+        lambda s: glv.decompose_traced(c.glv, r, s))(sc)
+    neg1, mag1 = np.asarray(neg1), np.asarray(mag1)
+    neg2, mag2 = np.asarray(neg2), np.asarray(mag2)
+
+    def to_int(mag, j):
+        return sum(int(mag[i, j]) << (16 * i) for i in range(mag.shape[0]))
+
+    for j, k in enumerate(ks):
+        k1 = (-1 if neg1[j] else 1) * to_int(mag1, j)
+        k2 = (-1 if neg2[j] else 1) * to_int(mag2, j)
+        assert (k1 + k2 * c.glv["lam"]) % r == k, j
+        assert abs(k1) < 1 << 131 and abs(k2) < 1 << 131, j
+
+
+def test_glv_mul_traced(rng):
+    c = secp256k1.g1()
+    r = c.scalar_modulus
+    n = 4
+    pts = c.random_host(rng, n)
+    P = c.from_affine(c.from_host(pts))
+    ks = [rng.randrange(r) for _ in range(n)]
+    ks[0] = 0
+    sc = jnp.asarray(batch_int_to_limbs(ks, r.bit_length() // 16 + 1))
+    got = c.to_host(jax.jit(lambda p, s: glv.glv_mul(c, p, s))(P, sc))
+    want = [c.host_mul(p, k) for p, k in zip(pts, ks)]
+    assert got == want
