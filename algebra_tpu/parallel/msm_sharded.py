@@ -29,7 +29,22 @@ def sharded_msm(curve, mesh, bases_aff, scalars, c=None, axis: str = "x"):
     """
     n = scalars.shape[1]
     D = mesh.shape[axis]
-    assert n % D == 0, "point count must divide evenly across devices"
+    if n % D:
+        # ragged point counts: pad with (infinity, scalar 0) lanes —
+        # both are MSM identities, so the result is unchanged.
+        pad = D - n % D
+        x, y, inf = bases_aff
+        bases_aff = (
+            jax.tree_util.tree_map(
+                lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)]), x
+            ),
+            jax.tree_util.tree_map(
+                lambda a: jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)]), y
+            ),
+            jnp.pad(inf, (0, pad), constant_values=True),
+        )
+        scalars = jnp.pad(scalars, [(0, 0), (0, pad)])
+        n += pad
     if c is None:
         c = msm_mod.default_window_size(n // D)
 

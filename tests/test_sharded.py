@@ -121,3 +121,65 @@ def test_sharded_intt_roundtrip(ntt_inputs):
     np.testing.assert_array_equal(
         np.asarray(jax.device_get(back)), np.asarray(jax.device_get(coeffs))
     )
+
+
+# ---------------------------------------------------------------------------
+# Blueprint-scale validation (VERDICT r3 weak #3): full 255-bit scalars,
+# >= 2^12 points / 2^14 NTT, multi-window recoding and the top-window
+# drain all crossing the shard_map boundary.  The oracle is the
+# single-device ops/msm path (itself host-oracle-tested in test_msm.py);
+# 1-vs-8-device bit-exactness is the sharding-equivalence contract.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def msm_inputs_full():
+    curve = bls12_381.g1()
+    rng = random.Random(31337)
+    n = (1 << 12) + 36  # ragged: exercises the pad path (n % 8 != 0)
+    pts = curve.random_host(rng, 256)
+    aff256 = curve.from_host(pts)
+    reps = -(-n // 256)
+    bases = (
+        jnp.tile(aff256[0], (1, reps))[:, :n],
+        jnp.tile(aff256[1], (1, reps))[:, :n],
+        jnp.tile(aff256[2], (reps,))[:n],
+    )
+    r = curve.scalar_modulus
+    scalars = [rng.randrange(r) for _ in range(n)]
+    sc = jnp.asarray(batch_int_to_limbs(scalars, bls12_381.fr_spec.n_limbs))
+    return curve, bases, sc
+
+
+def test_sharded_msm_full_width_scalars(msm_inputs_full):
+    curve, bases, sc = msm_inputs_full
+    from algebra_tpu.ops import msm as msm_mod
+
+    mesh8 = default_mesh(8)
+    out8 = jax.jit(lambda b, s: sharded_msm(curve, mesh8, b, s))(bases, sc)
+    local = jax.jit(lambda b, s: msm_mod.msm(curve, b, s))(bases, sc)
+    aff8 = _host_affine(curve, out8)
+    aff1 = _host_affine(curve, local)
+    assert aff8 == aff1, "8-device sharded MSM != single-device MSM"
+
+
+SIZE_FULL = 1 << 14
+
+
+def test_sharded_ntt_2e14(ntt_inputs):
+    fr, _, _, _ = ntt_inputs
+    rng = random.Random(991)
+    coeffs_int = [rng.randrange(fr.modulus) for _ in range(SIZE_FULL)]
+    coeffs = jnp.asarray(
+        batch_int_to_limbs([fr.to_mont(c) for c in coeffs_int], fr.n_limbs)
+    )
+    omega = fr.get_root_of_unity(SIZE_FULL)
+    mesh8 = default_mesh(8)
+    out8 = jax.jit(lambda c: sharded_fft(fr, mesh8, c, omega))(coeffs)
+
+    roots = ntt.powers_from_int(fr, omega, SIZE_FULL // 2)
+    bitrev = jnp.asarray(ntt.bit_reverse_indices(SIZE_FULL))
+    local = jax.jit(lambda c: ntt.fft(fr, c, roots, bitrev))(coeffs)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out8)), np.asarray(jax.device_get(local))
+    )
