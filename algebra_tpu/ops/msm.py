@@ -232,8 +232,14 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         # (including skewed/top windows) runs per window group, so slot
         # metadata AND the level-0 half-width value arrays stay
         # O(group * n) — the values are ~L x32 larger per slot than the
-        # u32 metadata, hence the tighter group bound.
-        group = max(1, min(num_windows, (1 << 25) // max(n, 1)))
+        # u32 metadata, hence the tighter group bound.  The slot budget
+        # caps live level-0 memory (~1.2 KB/slot across the packed rows,
+        # row gathers, and affine-add internals) under the ~14 GB HBM
+        # left beside the bases; 2^24 runs at group=1.
+        m1_est = min(n, (n + 1) // 2 + n_buckets)
+        slot_budget = 9 << 20
+        group = max(1, min(num_windows, (1 << 25) // max(n, 1),
+                           max(1, slot_budget // m1_est)))
         # point-major x|y rows: one contiguous 2L-limb row per gathered
         # point (the transposes replace x_row/y_row below)
         xy_rows = jnp.concatenate([x, y], axis=0).T  # [n, 2L]
@@ -258,7 +264,7 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
             jax.tree_util.tree_map(lambda *a: jnp.concatenate(a, axis=1), *lst)
             for lst in bucket_parts
         )
-        window_sums = _weighted_tree_reduce(curve, buckets)  # [W]
+        window_sums = _weighted_reduce(curve, buckets)  # [W]
         return _horner_fold(curve, window_sums, c)
 
     order_parts, isneg_parts, start_parts, count_parts = [], [], [], []
@@ -352,8 +358,18 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
     # Hillis–Steele double-suffix-scan's 2*B*log2(B)*W, which dominated
     # whole-MSM time at c = 16 (B = 32768).  Costs log2(B) distinct
     # compiled add shapes; B is small in the CPU test/dryrun configs.
-    window_sums = _weighted_tree_reduce(curve, buckets)  # [W]
+    window_sums = _weighted_reduce(curve, buckets)  # [W]
     return _horner_fold(curve, window_sums, c)
+
+
+def _weighted_reduce(curve, P):
+    """Dispatch: log-depth pairwise tree on TPU (launch-overhead-bound
+    otherwise), two-compiled-shape double scan on CPU (compile-bound)."""
+    from .. import config
+
+    if config.pallas_enabled():
+        return _weighted_pair_reduce(curve, P)
+    return _weighted_tree_reduce(curve, P)
 
 
 def _horner_fold(curve, window_sums, c: int):
@@ -528,12 +544,15 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
         runL, rankL)
     m = m1
 
-    # ---- levels 1..: pair-add within the packed slot array at FIXED
-    # width m1, so every level reuses the SAME compiled affine_add and
-    # inversion kernels as level 0 (each distinct Pallas shape costs
-    # ~0.5-1 min through the axon remote Mosaic compiler — far more
-    # than the gather work compaction would save).  The slot layout is
-    # still compacted each level (dead slots ride at the tail, masked).
+    # ---- levels 1..: pair-add with COMPACTED (shrinking) widths.  The
+    # capacity after a halving level is sum(ceil(counts/2)) <=
+    # (m + B)/2, so slot arrays, gathers, and affine-add lanes all halve
+    # each level — round 3 ran these levels at FIXED width m1 to reuse
+    # one compiled shape, which (a) wasted 2^l of the work at level l
+    # and (b) OOM'd 2^22+ (three live [g, m1, 2L+3] arrays).  Distinct
+    # widths do cost extra Mosaic compiles, but pad_bucket collapses the
+    # inner Pallas shapes into {2^k, 0.75*2^k} buckets shared across
+    # levels AND problem sizes, and the persistent cache keeps them.
     # Halve until the expected per-bucket occupancy n/(B*2^level)
     # reaches the lockstep loop's sweet spot (~a few rounds).
     occ = max(1, n // (2 * n_buckets))  # expected occupancy after lvl 0
@@ -544,8 +563,9 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
     for _ in range(levels):
         run = V[..., 2 * L + 1]
         rank = V[..., 2 * L + 2]
+        m_next = min(m, (m + n_buckets + 1) // 2)
         dst2src, has_partner, counts_b = pair_plan(
-            run, rank, counts_b, m, m)
+            run, rank, counts_b, m_next, m)
         empty = dst2src >= m
         srcc = jnp.minimum(dst2src, m - 1).astype(jnp.int32)
         rowsL = rows_take(V, srcc)
@@ -559,6 +579,7 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
         runL = jnp.where(empty, sent, rowsL[..., 2 * L + 1])
         rankL = rowsL[..., 2 * L + 2] >> 1
         V = pack_rows(curve.affine_add(left, right, inv_fn), runL, rankL)
+        m = m_next
 
     # ---- finish: capped lockstep mixed-add rounds over compacted slots
     start_c = (jnp.cumsum(counts_b, axis=1) - counts_b).astype(jnp.int32)
@@ -671,6 +692,53 @@ def _drain_bucket_tail(curve, base, buckets, counts_f, r0, r1, order, start,
         )
         for coord, comp in zip(buckets, compact)
     )
+
+
+def _weighted_pair_reduce(curve, P):
+    """Weighted bucket reduction  sum_k (k+1) * S_k  over the last batch
+    axis as a log-depth pairwise halving tree (TPU path).
+
+    Identity: with T_i = S_{2i} + S_{2i+1} and E = S_even,
+        WS(S) = 2*WS(T) - PS(E)
+    so WS = 2^log2(B) * S_fold - sum_l 2^l * PS(E_l), accumulated
+    Horner-style (acc = 2*acc - PS(E_l), descending l).  ~2*B*W total
+    lane-adds — the same count as the blocked double scan below — but
+    ~log2(B)^2/2 SEQUENTIAL steps of halving width instead of ~900
+    launch-bound steps on tiny [W, nb] arrays, which profiling showed
+    cost ~1 s wall at every size (the adds are tiny; the per-step
+    overhead dominates).  Costs ~log2(B) distinct compiled add shapes,
+    which TPU absorbs via the persistent kernel cache; the CPU suite
+    keeps the two-shape scan path (XLA:CPU pays ~1 min/shape in LLVM).
+    """
+    leaves = jax.tree_util.tree_leaves(P)
+    B = leaves[0].shape[-1]
+    if B == 1:
+        return curve.index_point(P, (slice(None), 0))
+    lv = B.bit_length() - 1
+    assert 1 << lv == B, "bucket count must be a power of two"
+
+    def halve_sum(Q):
+        """Full sum along the last axis by repeated pair adds."""
+        w = jax.tree_util.tree_leaves(Q)[0].shape[-1]
+        while w > 1:
+            E = jax.tree_util.tree_map(lambda a: a[..., 0::2], Q)
+            O = jax.tree_util.tree_map(lambda a: a[..., 1::2], Q)
+            Q = curve.add(tuple(E), tuple(O))
+            w //= 2
+        return jax.tree_util.tree_map(lambda a: a[..., 0], Q)
+
+    S = P
+    evens = []  # E_l, widths B/2, B/4, ..., 1
+    for _ in range(lv):
+        E = jax.tree_util.tree_map(lambda a: a[..., 0::2], S)
+        O = jax.tree_util.tree_map(lambda a: a[..., 1::2], S)
+        evens.append(tuple(E))
+        S = curve.add(tuple(E), tuple(O))
+    acc = jax.tree_util.tree_map(lambda a: a[..., 0], S)  # S_fold [W]
+    for E in reversed(evens):  # l = lv-1 .. 0
+        acc = curve.double(acc)
+        acc = curve.add(acc, curve.neg(halve_sum(E)))
+    return acc
 
 
 def _weighted_tree_reduce(curve, P):

@@ -169,7 +169,57 @@ def bench_msm(log_sizes=(16, 18, 20, 22, 24), curve_name="g1"):
         report(f"bls12_381_{curve_name}_msm_2e{log_n}_s", dt, "s")
 
 
-def bench_pairing(batch=256):
+def bench_field_ops(n=1 << 20):
+    """add/sub/square/inverse/sqrt rows (the reference's f_bench! sweep,
+    bench-templates/src/macros/field.rs:2-60)."""
+    import jax
+    import jax.numpy as jnp
+
+    from algebra_tpu.bigint import batch_int_to_limbs
+    from algebra_tpu.curves.instances.bls12_381 import fr_spec
+    from algebra_tpu.ops import mont
+
+    spec = fr_spec
+    rng = np.random.default_rng(11)
+    nb = (spec.modulus_bit_size - 2) // 8
+    a = jnp.asarray(batch_int_to_limbs(
+        [int.from_bytes(rng.bytes(nb), "little") for _ in range(n)],
+        spec.n_limbs))
+    b = jnp.asarray(batch_int_to_limbs(
+        [int.from_bytes(rng.bytes(nb), "little") for _ in range(n)],
+        spec.n_limbs))
+
+    def chain(op, reps):
+        @jax.jit
+        def f(x, y):
+            for _ in range(reps):
+                x = op(x, y)
+            return x
+        state = {"x": a}
+
+        def run():
+            state["x"] = f(state["x"], b)
+            return state["x"]
+        dt = _time(run)
+        return n * reps / dt
+
+    report("bls12_381_fr_add_per_s", chain(lambda x, y: mont.add(spec, x, y), 16), "ops/s")
+    report("bls12_381_fr_sub_per_s", chain(lambda x, y: mont.sub(spec, x, y), 16), "ops/s")
+    report("bls12_381_fr_square_per_s", chain(lambda x, y: mont.square(spec, x), 8), "ops/s")
+
+    inv = jax.jit(lambda x: mont.batch_inverse(spec, x, axis=0))
+    dt = _time(lambda: inv(a))
+    report("bls12_381_fr_batch_inverse_per_s", n / dt, "ops/s")
+
+    from algebra_tpu.curves.instances.bls12_381 import Fr
+
+    sq = mont.mul(spec, a, a)  # guaranteed QRs
+    sqrt = jax.jit(lambda x: Fr.sqrt(x)[1])
+    dt = _time(lambda: sqrt(sq))
+    report("bls12_381_fr_sqrt_per_s", n / dt, "ops/s")
+
+
+def bench_pairing(batches=(256, 4096)):
     import jax
     import jax.numpy as jnp
 
@@ -177,24 +227,30 @@ def bench_pairing(batch=256):
 
     ctx = bls12_381.pairing()
     g1, g2 = bls12_381.g1(), bls12_381.g2()
-    p = g1.to_affine(g1.generator((batch,)))
-    q = g2.to_affine(g2.generator((batch,)))
+    for batch in batches:
+        p = g1.to_affine(g1.generator((batch,)))
+        q = g2.to_affine(g2.generator((batch,)))
 
-    miller = jax.jit(lambda a, b: ctx.miller_loop(a, b))
-    final = jax.jit(lambda f: ctx.final_exponentiation(f))
+        miller = jax.jit(lambda a, b: ctx.miller_loop(a, b))
+        final = jax.jit(lambda f: ctx.final_exponentiation(f))
+        prep = jax.jit(lambda b: ctx.prepare_g2(b))
 
-    dt_m = _time(lambda: miller(p, q))
-    f = miller(p, q)
-    dt_f = _time(lambda: final(f))
-    report("bls12_381_miller_loop_per_pair_s", dt_m / batch, "s")
-    report("bls12_381_final_exp_per_lane_s", dt_f / batch, "s")
-    report("bls12_381_pairing_per_pair_s", (dt_m + dt_f) / batch, "s")
+        dt_m = _time(lambda: miller(p, q))
+        f = miller(p, q)
+        dt_f = _time(lambda: final(f))
+        dt_p = _time(lambda: prep(q))
+        sfx = f"_b{batch}" if batch != 256 else ""
+        report(f"bls12_381_miller_loop_per_pair{sfx}_s", dt_m / batch, "s")
+        report(f"bls12_381_final_exp_per_lane{sfx}_s", dt_f / batch, "s")
+        report(f"bls12_381_pairing_per_pair{sfx}_s", (dt_m + dt_f) / batch, "s")
+        report(f"bls12_381_g2_prepare_per_point{sfx}_s", dt_p / batch, "s")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("what", nargs="?", default="all",
-                    choices=["field", "ntt", "msm", "pairing", "all"])
+                    choices=["field", "fieldops", "ntt", "msm", "pairing",
+                             "all"])
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a JAX profiler trace (xprof/tensorboard "
                          "format) of the benchmarked kernels into DIR")
@@ -208,6 +264,8 @@ def main():
         prof_ctx = args.profile
     if args.what in ("field", "all"):
         bench_field()
+    if args.what in ("fieldops", "all"):
+        bench_field_ops()
     if args.what in ("ntt", "all"):
         bench_ntt()
     if args.what in ("msm", "all"):

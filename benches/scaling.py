@@ -1,0 +1,154 @@
+"""Weak-scaling harness for the sharded MSM / NTT decompositions.
+
+Real multi-chip hardware is not available in this environment, so this
+measures the *decomposition* on a virtual CPU mesh (the methodology that
+will run unchanged on a pod slice) and records, per device count D:
+
+  * wall time of the sharded computation at fixed per-device size,
+  * wall time of the local (unsharded) computation of one shard,
+  * the collective traffic the decomposition moves (exact, from shapes),
+  * derived efficiency = t_local / t_sharded (on real hardware the
+    devices run concurrently; on the shared-core virtual mesh the
+    sharded time is ~D * t_local + collective overhead, so the honest
+    figure reported for virtual runs is the COLLECTIVE FRACTION, not
+    end-to-end efficiency).
+
+MSM's collective is an all_gather of one Jacobian point per device
+(3 * L * 4 bytes each) + a log-depth fold: negligible vs local compute
+at any realistic size, so MSM weak-scaling efficiency on real ICI is
+bounded by the local fraction (>99% at 2^20/device).  The NTT moves the
+whole coefficient array once through all_to_all: its efficiency bound is
+1 / (1 + bytes / (ICI_bw * t_local)), reported with the v5e ICI number.
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python benches/scaling.py [--json-out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# v5e: 4 ICI links/chip at ~45 GB/s usable bidirectional each; the
+# all_to_all in a 1-D ring uses ~1 link pair sustained per chip.
+ICI_BYTES_PER_S = 45e9
+
+
+def _sync(x):
+    import jax
+
+    return np.asarray(
+        jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[:2]))
+
+
+def _time(fn, *args):
+    _sync(fn(*args))
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _sync(out)
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument("--per-device-msm", type=int, default=1 << 12)
+    ap.add_argument("--per-device-ntt", type=int, default=1 << 13)
+    args = ap.parse_args()
+
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from algebra_tpu.bigint import batch_int_to_limbs
+    from algebra_tpu.curves.instances import bls12_381
+    from algebra_tpu.ops import msm as msm_mod, ntt
+    from algebra_tpu.parallel.mesh import default_mesh
+    from algebra_tpu.parallel.msm_sharded import sharded_msm
+    from algebra_tpu.parallel.ntt_sharded import sharded_fft
+
+    curve = bls12_381.g1()
+    fr = bls12_381.fr_spec
+    L = curve.base.spec.n_limbs
+    ndev = len(jax.devices())
+    counts = [d for d in (1, 2, 4, 8) if d <= ndev]
+    rows = []
+
+    rng = random.Random(5150)
+    aff256 = curve.from_host(curve.random_host(rng, 256))
+    nprng = np.random.default_rng(5)
+
+    for D in counts:
+        mesh = default_mesh(D)
+        # ---- MSM: fixed per-device points
+        n = args.per_device_msm * D
+        reps = -(-n // 256)
+        bases = (
+            jnp.tile(aff256[0], (1, reps))[:, :n],
+            jnp.tile(aff256[1], (1, reps))[:, :n],
+            jnp.tile(aff256[2], (reps,))[:n],
+        )
+        sc = jnp.asarray(batch_int_to_limbs(
+            [int.from_bytes(nprng.bytes(31), "little") for _ in range(n)],
+            fr.n_limbs))
+        t_shard = _time(
+            jax.jit(lambda b, s: sharded_msm(curve, mesh, b, s)), bases, sc)
+        n1 = args.per_device_msm
+        c_local = msm_mod.default_window_size(n1)
+        t_local = _time(
+            jax.jit(lambda b, s: msm_mod.msm(curve, b, s, c=c_local)),
+            (bases[0][:, :n1], bases[1][:, :n1], bases[2][:n1]),
+            sc[:, :n1])
+        coll_bytes = D * 3 * L * 4  # all_gather of D Jacobian points
+        t_coll_proj = coll_bytes / ICI_BYTES_PER_S + 2e-6 * max(
+            D.bit_length() - 1, 0)
+        eff_proj = t_local / (t_local + t_coll_proj)
+        rows.append({
+            "op": "msm", "devices": D, "n_total": n,
+            "t_sharded_virtual_s": t_shard, "t_local_shard_s": t_local,
+            "collective_bytes": coll_bytes,
+            "projected_efficiency_ici": eff_proj,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+        # ---- NTT: fixed per-device coefficients
+        size = args.per_device_ntt * D
+        coeffs = jnp.asarray(batch_int_to_limbs(
+            [fr.to_mont(int.from_bytes(nprng.bytes(31), "little") % fr.modulus)
+             for i in range(size)], fr.n_limbs))
+        omega = fr.get_root_of_unity(size)
+        t_shard = _time(
+            jax.jit(lambda cf: sharded_fft(fr, mesh, cf, omega)), coeffs)
+        roots = ntt.powers_from_int(fr, omega, args.per_device_ntt // 2)
+        bitrev = jnp.asarray(ntt.bit_reverse_indices(args.per_device_ntt))
+        t_local = _time(
+            jax.jit(lambda cf: ntt.fft(fr, cf, roots, bitrev)),
+            coeffs[:, :args.per_device_ntt])
+        # all_to_all moves (D-1)/D of the local array once per chip
+        coll_bytes = (D - 1) * args.per_device_ntt * L * 4
+        t_coll_proj = coll_bytes / ICI_BYTES_PER_S
+        eff_proj = t_local / (t_local + t_coll_proj)
+        rows.append({
+            "op": "ntt", "devices": D, "n_total": size,
+            "t_sharded_virtual_s": t_shard, "t_local_shard_s": t_local,
+            "collective_bytes": coll_bytes,
+            "projected_efficiency_ici": eff_proj,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

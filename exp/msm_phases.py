@@ -96,7 +96,7 @@ def main(log_sizes):
         buckets_j = jax.jit(buckets_fn)
 
         def reduce_fn(bucket_parts):
-            ws = msm_mod._weighted_tree_reduce(curve, tuple(bucket_parts))
+            ws = msm_mod._weighted_reduce(curve, tuple(bucket_parts))
             return msm_mod._horner_fold(curve, ws, c)
 
         reduce_j = jax.jit(reduce_fn)
