@@ -6,9 +6,14 @@ from __future__ import annotations
 # None = auto: use Pallas kernels when the default backend is a TPU.
 use_pallas: bool | None = None
 
-# Minimum flattened batch size before the Pallas path is worth its
-# padding/launch overhead; below this the fused-XLA path wins.
-pallas_min_batch: int = 4096
+# Minimum flattened batch size for the fused Pallas group-law/field
+# kernels.  One fused kernel launch (~20-50 us, lanes padded up to the
+# 128-lane block by pad_bucket) beats the composed jnp path (~600
+# separate XLA ops, ~1 ms measured on [24, 16, 128] Jacobian adds) at
+# ANY batch size on TPU — small batches dominate the latency-bound
+# sequential regions (bucket-reduction scan, Horner fold, scalar-mul
+# bit scans), so the fused path is unconditional there.
+pallas_min_batch: int = 1
 
 # MSM bucket accumulation strategy: the sorted-segment affine pairwise
 # tree (batched chord/tangent adds with amortized blocked inversion,

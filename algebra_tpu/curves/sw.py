@@ -170,6 +170,10 @@ class SWCurve:
         kernels (fields/dot.py waves) instead of ~7 muls + ~8 adds —
         the same re-formulation as the pairing step functions.
         """
+        if self._use_fused(P):
+            from ..ops import sw_pallas
+
+            return sw_pallas.double(self.base.spec, P)
         B = self.base
         X1, Y1, Z1 = P
         if self.a_is_zero:
@@ -471,10 +475,22 @@ class SWCurve:
         return jnp.logical_or(inf, B.equal(B.square(y), rhs))
 
     # ----------------------------------------------------------- scalar mul
-    def scalar_mul(self, P, scalars: jnp.ndarray):
+    def scalar_mul(self, P, scalars: jnp.ndarray, use_glv: bool | None = None):
         """P * scalar for traced per-lane scalars (uint32[Ls, ...] canonical
         limb-major 16-bit limbs).  Branchless MSB-first double-and-add via
-        lax.scan — the default `mul_bigint` path (short_weierstrass/mod.rs:75)."""
+        lax.scan — the default `mul_bigint` path (short_weierstrass/mod.rs:75).
+
+        Curves with GLV parameters route to the endomorphism-split joint
+        double-and-add (ops/glv.glv_mul: ~half the scan depth,
+        glv.rs:28-62) when the scalars cover the full field width."""
+        if use_glv is None:
+            use_glv = (self.glv is not None
+                       and 16 * scalars.shape[0]
+                       >= self.scalar_modulus.bit_length())
+        if use_glv and self.glv is not None:
+            from ..ops import glv as glv_mod
+
+            return glv_mod.glv_mul(self, P, scalars)
         bits = scalar_bits_le(scalars)  # [nbits, ...]
         acc = self.zero(self.batch_shape(P))
 

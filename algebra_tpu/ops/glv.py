@@ -266,6 +266,17 @@ def glv_mul(curve, P, scalars: jnp.ndarray):
     """
     glv = curve.glv
     r = curve.scalar_modulus
+    batch = scalars.shape[1:]
+    if len(batch) != 1:  # flatten batch dims for the limb helpers
+        import numpy as _np
+
+        nb = int(_np.prod(batch)) if batch else 1
+        flat = scalars.reshape(scalars.shape[0], nb)
+        Pf = jax.tree_util.tree_map(
+            lambda a: a.reshape(a.shape[0], nb), P)
+        out = glv_mul(curve, Pf, flat)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape(a.shape[:1] + batch), out)
     neg1, mag1, neg2, mag2 = decompose_traced(glv, r, scalars)
     W = mag1.shape[0]
     max_basis = max(abs(v) for row in glv["basis"] for v in row)

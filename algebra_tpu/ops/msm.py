@@ -363,12 +363,16 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
 
 
 def _weighted_reduce(curve, P):
-    """Dispatch: log-depth pairwise tree on TPU (launch-overhead-bound
-    otherwise), two-compiled-shape double scan on CPU (compile-bound)."""
-    from .. import config
+    """Weighted bucket reduction entry point.
 
-    if config.pallas_enabled():
-        return _weighted_pair_reduce(curve, P)
+    The blocked double scan is ~900 SEQUENTIAL steps of small adds;
+    what makes it fast on TPU is not the schedule but the step cost:
+    with curve.add routed through the fused Pallas kernel even at small
+    batches (config.pallas_min_batch), one step is a single ~50 us
+    kernel launch instead of ~600 separate XLA elementwise ops (~1 ms
+    measured).  A log-depth pairwise-tree variant was tried and reverted
+    — its ~80 distinct-shape add bodies made the axon remote compile
+    pathological (>45 min) for a ~40 ms win."""
     return _weighted_tree_reduce(curve, P)
 
 
@@ -376,7 +380,10 @@ def _horner_fold(curve, window_sums, c: int):
     """Horner fold over windows, most significant first, as a scan
     (unrolling W * c doublings made the XLA graph enormous;
     variable_base/mod.rs:134-148).  lax.scan consumes leaf axis 0, so
-    the window axis moves ahead of the limb axis first."""
+    the window axis moves ahead of the limb axis first.  The ~c*W
+    sequential batch-() doublings are an inherent floor (no pairing
+    scheme reduces the sequential depth; the 2^(c*(W-1)) factor alone
+    needs c*(W-1) doublings)."""
     wsums_desc = curve.index_point(window_sums, slice(None, None, -1))
     wsums_scan = jax.tree_util.tree_map(
         lambda a: jnp.moveaxis(a, 1, 0), wsums_desc
@@ -692,53 +699,6 @@ def _drain_bucket_tail(curve, base, buckets, counts_f, r0, r1, order, start,
         )
         for coord, comp in zip(buckets, compact)
     )
-
-
-def _weighted_pair_reduce(curve, P):
-    """Weighted bucket reduction  sum_k (k+1) * S_k  over the last batch
-    axis as a log-depth pairwise halving tree (TPU path).
-
-    Identity: with T_i = S_{2i} + S_{2i+1} and E = S_even,
-        WS(S) = 2*WS(T) - PS(E)
-    so WS = 2^log2(B) * S_fold - sum_l 2^l * PS(E_l), accumulated
-    Horner-style (acc = 2*acc - PS(E_l), descending l).  ~2*B*W total
-    lane-adds — the same count as the blocked double scan below — but
-    ~log2(B)^2/2 SEQUENTIAL steps of halving width instead of ~900
-    launch-bound steps on tiny [W, nb] arrays, which profiling showed
-    cost ~1 s wall at every size (the adds are tiny; the per-step
-    overhead dominates).  Costs ~log2(B) distinct compiled add shapes,
-    which TPU absorbs via the persistent kernel cache; the CPU suite
-    keeps the two-shape scan path (XLA:CPU pays ~1 min/shape in LLVM).
-    """
-    leaves = jax.tree_util.tree_leaves(P)
-    B = leaves[0].shape[-1]
-    if B == 1:
-        return curve.index_point(P, (slice(None), 0))
-    lv = B.bit_length() - 1
-    assert 1 << lv == B, "bucket count must be a power of two"
-
-    def halve_sum(Q):
-        """Full sum along the last axis by repeated pair adds."""
-        w = jax.tree_util.tree_leaves(Q)[0].shape[-1]
-        while w > 1:
-            E = jax.tree_util.tree_map(lambda a: a[..., 0::2], Q)
-            O = jax.tree_util.tree_map(lambda a: a[..., 1::2], Q)
-            Q = curve.add(tuple(E), tuple(O))
-            w //= 2
-        return jax.tree_util.tree_map(lambda a: a[..., 0], Q)
-
-    S = P
-    evens = []  # E_l, widths B/2, B/4, ..., 1
-    for _ in range(lv):
-        E = jax.tree_util.tree_map(lambda a: a[..., 0::2], S)
-        O = jax.tree_util.tree_map(lambda a: a[..., 1::2], S)
-        evens.append(tuple(E))
-        S = curve.add(tuple(E), tuple(O))
-    acc = jax.tree_util.tree_map(lambda a: a[..., 0], S)  # S_fold [W]
-    for E in reversed(evens):  # l = lv-1 .. 0
-        acc = curve.double(acc)
-        acc = curve.add(acc, curve.neg(halve_sum(E)))
-    return acc
 
 
 def _weighted_tree_reduce(curve, P):

@@ -108,6 +108,15 @@ def _madd_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, inf2r,
     zo[...] = Z3
 
 
+def _double_kernel(spec: FieldSpec, x1r, y1r, z1r, xo, yo, zo):
+    """Jacobian doubling (dbl-2009-l, a = 0); infinity falls out via
+    Z3 = 2*Y1*Z1 == 0."""
+    X3, Y3, Z3 = _double_lm(spec, x1r[...], y1r[...], z1r[...])
+    xo[...] = X3
+    yo[...] = Y3
+    zo[...] = Z3
+
+
 def _add_kernel(spec: FieldSpec, x1r, y1r, z1r, x2r, y2r, z2r, xo, yo, zo):
     """Full Jacobian add (add-2007-bl) with exceptional cases."""
     x1, y1, z1 = x1r[...], y1r[...], z1r[...]
@@ -372,6 +381,38 @@ def _add_call(spec: FieldSpec, n: int, block: int,
         in_specs=[dspec] * 6,
         out_specs=(dspec, dspec, dspec),
         interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _double_call(spec: FieldSpec, n: int, block: int,
+                 interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    grid = (n // block,)
+    dspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        functools.partial(_double_kernel, spec),
+        out_shape=(out, out, out),
+        grid=grid,
+        in_specs=[dspec] * 3,
+        out_specs=(dspec, dspec, dspec),
+        interpret=interpret,
+    )
+
+
+def double(spec: FieldSpec, P, block: int = DEFAULT_BLOCK):
+    """Fused Jacobian doubling (a = 0)."""
+    flat, batch, n, padded = _flatten(spec, list(P), block)
+    xo, yo, zo = _double_call(spec, padded, block, _interp())(*flat)
+    L = spec.n_limbs
+    return (
+        xo[:, :n].reshape((L,) + batch),
+        yo[:, :n].reshape((L,) + batch),
+        zo[:, :n].reshape((L,) + batch),
     )
 
 

@@ -134,6 +134,18 @@ def test_madd_kernel_interpret(interpret):
         assert (np.asarray(g) == np.asarray(r)).all()
 
 
+def test_double_kernel_interpret(interpret):
+    curve = bls12_381.g1()
+    spec = curve.base.spec
+    n = 128
+    P = curve.from_affine(_point_batch(curve, n, 555))
+    # infinity lane: from_affine maps inf to z == 0
+    got = sw_pallas.double(spec, P)
+    ref = curve.double(P)
+    for g, r in zip(got, ref):
+        assert (np.asarray(g) == np.asarray(r)).all()
+
+
 def test_add_kernel_interpret(interpret):
     curve = bls12_381.g1()
     spec = curve.base.spec
