@@ -136,6 +136,13 @@ def plan_windows(scalar_bits: int, c0: int, n: int):
     return best[1], best[2]
 
 
+def _row_pad(w: int) -> int:
+    """Pad packed point-row widths to a 64-u32 (256 B) multiple: v5e row
+    gathers measured ~19 ns/row at 256 B-aligned widths vs ~57-68 ns at
+    48-56 u32 (exp/gather_bench.py)."""
+    return -(-w // 64) * 64
+
+
 def _tree_take(value, idx):
     """Gather/slice along the leading BATCH axis of limb-major leaves."""
     return jax.tree_util.tree_map(lambda a: a[:, idx], value)
@@ -240,9 +247,13 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         slot_budget = 9 << 20
         group = max(1, min(num_windows, (1 << 25) // max(n, 1),
                            max(1, slot_budget // m1_est)))
-        # point-major x|y rows: one contiguous 2L-limb row per gathered
-        # point (the transposes replace x_row/y_row below)
-        xy_rows = jnp.concatenate([x, y], axis=0).T  # [n, 2L]
+        # point-major x|y rows padded to 64 u32 (256 B): measured on v5e,
+        # row gathers run ~19 ns/row at 64-wide vs ~57 ns at 48/51-wide
+        # (exp/gather_bench.py) — the dominant cost of the whole bucket
+        # phase, worth the 33% pad.
+        L = x.shape[0]
+        pad64 = jnp.zeros((_row_pad(2 * L) - 2 * L, n), jnp.uint32)
+        xy_rows = jnp.concatenate([x, y, pad64], axis=0).T  # [n, 64k]
         bucket_parts = None
         for g0 in range(0, num_windows, group):
             order_g, isneg_g, skey_g, start_g, counts_g = recode_group(
@@ -454,7 +465,7 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
     """
     B = curve.base
     g = order_signed.shape[0]
-    L = xy_rows.shape[-1] // 2
+    L = B.spec.n_limbs
     inv_fn = _batched_inv_fn(B)
     sent = jnp.uint32(n_buckets)
     w_rows = jnp.arange(g, dtype=jnp.int32)[:, None]
@@ -491,19 +502,23 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
             src_ids, mode="drop")
         return dst2src, has_partner, new_counts
 
+    row_w = _row_pad(2 * L + 3)
+
     def pack_rows(P, run, rank):
-        """(x [L,g,m], y, inf) + metadata -> packed rows [g, m, 2L+3]."""
+        """(x [L,g,m], y, inf) + metadata -> packed rows
+        [g, m, row_w] = [x | y | inf | run | rank | pad-to-256B]."""
         x3, y3, i3 = P
-        return jnp.concatenate(
-            [
-                jnp.moveaxis(x3, 0, -1),
-                jnp.moveaxis(y3, 0, -1),
-                i3.astype(jnp.uint32)[..., None],
-                run[..., None],
-                rank[..., None],
-            ],
-            axis=-1,
-        )
+        parts = [
+            jnp.moveaxis(x3, 0, -1),
+            jnp.moveaxis(y3, 0, -1),
+            i3.astype(jnp.uint32)[..., None],
+            run[..., None],
+            rank[..., None],
+        ]
+        pad = row_w - (2 * L + 3)
+        if pad:
+            parts.append(jnp.zeros(x3.shape[1:] + (pad,), jnp.uint32))
+        return jnp.concatenate(parts, axis=-1)
 
     def unpack_rows(rows, slot_valid):
         gx = jnp.moveaxis(rows[..., :L], -1, 0)
@@ -537,7 +552,7 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
             (pt & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         )
         gx = jnp.moveaxis(rows[..., :L], -1, 0)
-        gy = jnp.moveaxis(rows[..., L:], -1, 0)
+        gy = jnp.moveaxis(rows[..., L : 2 * L], -1, 0)
         return (gx, gy, jnp.logical_not(slot_valid)), (pt >> 31) != 0
 
     metaL = rows_take(meta0, srcc)  # [g, m1, 3]
