@@ -136,13 +136,6 @@ def plan_windows(scalar_bits: int, c0: int, n: int):
     return best[1], best[2]
 
 
-def _row_pad(w: int) -> int:
-    """Pad packed point-row widths to a 64-u32 (256 B) multiple: v5e row
-    gathers measured ~19 ns/row at 256 B-aligned widths vs ~57-68 ns at
-    48-56 u32 (exp/gather_bench.py)."""
-    return -(-w // 64) * 64
-
-
 def _tree_take(value, idx):
     """Gather/slice along the leading BATCH axis of limb-major leaves."""
     return jax.tree_util.tree_map(lambda a: a[:, idx], value)
@@ -243,17 +236,25 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         # caps live level-0 memory (~1.2 KB/slot across the packed rows,
         # row gathers, and affine-add internals) under the ~14 GB HBM
         # left beside the bases; 2^24 runs at group=1.
-        m1_est = min(n, (n + 1) // 2 + n_buckets)
-        slot_budget = 9 << 20
-        group = max(1, min(num_windows, (1 << 25) // max(n, 1),
-                           max(1, slot_budget // m1_est)))
-        # point-major x|y rows padded to 64 u32 (256 B): measured on v5e,
-        # row gathers run ~19 ns/row at 64-wide vs ~57 ns at 48/51-wide
-        # (exp/gather_bench.py) — the dominant cost of the whole bucket
-        # phase, worth the 33% pad.
+        # peak live bytes ~1.4 KB per level-0 slot (packed rows + the
+        # unpacked halves + affine-add internals); budget ~12.5 GB
+        # beside the bases.
+        m0_est = n + 7 * n_buckets
+        group = max(1, min(num_windows,
+                           max(1, (125 << 27) // (m0_est * 1400))))
+        # flat 2-D packed point rows [n + 1, 128] (512 B each): measured
+        # on v5e, row gathers run ~15 ns/row on 128-u32 2-D arrays vs
+        # ~60 ns on narrower/3-D layouts (exp/gather_bench.py), and the
+        # flat form avoids XLA's [g, m, 1] tile-padding blowups.  Row n
+        # is the infinity sentinel: padded slots gather it instead of
+        # branching.
+        from . import rows_pallas
+
         L = x.shape[0]
-        pad64 = jnp.zeros((_row_pad(2 * L) - 2 * L, n), jnp.uint32)
-        xy_rows = jnp.concatenate([x, y, pad64], axis=0).T  # [n, 64k]
+        base_rows = rows_pallas.pack(B.spec, x, y, inf)
+        sentinel = jnp.zeros((1, rows_pallas.ROW_W), jnp.uint32)
+        sentinel = sentinel.at[0, 2 * L].set(1)
+        xy_rows = jnp.concatenate([base_rows, sentinel], axis=0)
         bucket_parts = None
         for g0 in range(0, num_windows, group):
             order_g, isneg_g, skey_g, start_g, counts_g = recode_group(
@@ -438,183 +439,108 @@ def _batched_inv_fn(base):
 
 def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
                          counts, n: int, n_buckets: int):
-    """Bucket sums for one window group via the sorted-segment affine
-    pairwise tree.  Returns a Jacobian bucket batch [g, B].
+    """Bucket sums for one window group via ALIGNED positional halving.
 
-    After the per-window sort, each bucket's points form one contiguous
-    run.  Level l adds adjacent SAME-RUN pairs with a single batched
-    affine chord/tangent add (curve.affine_add: ~7 field muls per lane
-    including the amortized blocked inversion) and compacts survivors:
-    slot ranks halve, run counts ceil-halve, and the array width shrinks
-    to  n/2^l + B.  When halving stops helping (width ~ 2B), the
-    remaining short runs finish with capped lockstep mixed-add rounds +
+    After the per-window sort each bucket's points form one contiguous
+    run.  Bucket counts are padded up to a multiple of 2^k, so for k
+    levels every pair (2i, 2i+1) is guaranteed same-run: the halving
+    levels are pure strided SLICES + one fused batched affine add each —
+    zero gathers, zero scatters, zero metadata.  Padded slots read the
+    infinity sentinel row and the affine kernel's own infinity handling
+    absorbs them (inf + inf = inf, P + inf = P).  The single expansion
+    gather (sorted order -> padded slot layout) happens once, against
+    flat 2-D 512-byte packed rows (~15 ns/row measured on v5e), and the
+    surviving short runs finish with capped lockstep mixed-add rounds +
     a compacted drain.
 
-    The value layout is gather-count-driven (profiling showed TPU
-    dynamic gathers cost ~15-20 ns per INDEX regardless of row width,
-    dwarfing the field math): slots persist as point-major packed rows
-    [g, m, 2L+3] = [x | y | inf | run | rank], so one row gather per
-    side per level fetches coordinates AND metadata; run ids come from
-    the sort keys (no searchsorted); the digit sign rides the top bit of
-    the order permutation.
+    This replaced a per-level gather/scatter compaction scheme whose
+    profile was ~70% dynamic-gather issue cost (xprof, NOTES.md r4):
+    per level it paid ~6 per-slot index ops; this design pays ~4 index
+    ops ONCE at level 0 and none after.
 
-    vs the lockstep-only scheme this does ~1.0x n affine adds (7 muls)
-    instead of ~1.3x n Jacobian mixed adds (19 muls) per window, and
-    needs no top-window special case: skewed windows just take more
-    (cheap, narrow) levels.
+    The reference's analogue is the rayon per-window scatter loop
+    (ec/src/scalar_mul/variable_base/mod.rs:110-130); the affine add is
+    the batched chord/tangent law with amortized blocked inversion
+    (~10 field muls/lane vs ~19 for Jacobian mixed adds).
     """
     B = curve.base
+    spec = B.spec
     g = order_signed.shape[0]
-    L = B.spec.n_limbs
+    L = spec.n_limbs
     inv_fn = _batched_inv_fn(B)
-    sent = jnp.uint32(n_buckets)
+    from . import rows_pallas
+
+    # ---- plan: k halving levels; pad counts to multiples of 2^k
+    occ = max(1, n // n_buckets)
+    k = 0
+    while occ > 4 and k < 4:  # stop when ~4 lockstep rounds remain
+        occ //= 2
+        k += 1
+    pad_unit = 1 << k
+
+    counts_i = counts.astype(jnp.int32)  # [g, B]
+    start_i = start.astype(jnp.int32)
+    counts_p = ((counts_i + (pad_unit - 1)) >> k) << k
+    start_p = jnp.cumsum(counts_p, axis=1) - counts_p  # exclusive
+    m0 = n + (pad_unit - 1) * n_buckets
+    m0 = ((m0 + pad_unit - 1) >> k) << k  # window stride, 2^k-aligned
+
+    # ---- expand: run id per padded slot (scatter-max + cummax fill)
     w_rows = jnp.arange(g, dtype=jnp.int32)[:, None]
-    counts_b = counts.astype(jnp.uint32)  # [g, B]
-    startu = start.astype(jnp.uint32)
+    seed = jnp.zeros((g, m0), jnp.int32)
+    bucket_ids = jnp.broadcast_to(
+        jnp.arange(n_buckets, dtype=jnp.int32)[None, :], (g, n_buckets))
+    seed = seed.at[w_rows, start_p].max(bucket_ids, mode="drop")
+    run_slot = jax.lax.cummax(seed, axis=1)  # [g, m0]
 
-    def rows_take(V, idx):
-        """Row gather: V [g, m, R] at idx [g, m'] -> [g, m', R] with
-        explicit per-row slices (take_along_axis would broadcast the
-        index over R and gather per element)."""
-        return jax.vmap(lambda v, i: v[i])(V, idx)
+    # per-slot source position via two table lookups:
+    #   rank = j - start_p[run];  src = start[run] + rank = j + delta[run]
+    delta = start_i - start_p
+    bound = start_p + counts_i  # slots with j >= bound are padding
+    d = jnp.take_along_axis(delta, run_slot, axis=1)
+    bd = jnp.take_along_axis(bound, run_slot, axis=1)
+    j = jnp.arange(m0, dtype=jnp.int32)[None, :]
+    src_pos = jnp.minimum(j + d, n - 1)
+    valid = j < bd
 
-    def pair_plan(run, rank, counts_b, m_next, width):
-        """Pairing/compaction for one level: two [g, B]-table gathers +
-        one scatter.  Returns (dst2src [g, m_next] with `width` marking
-        empty slots, has_partner [g, width], new_counts)."""
-        runc = jnp.minimum(run, sent - 1)
-        cnt = jnp.take_along_axis(counts_b, runc.astype(jnp.int32), axis=1)
-        pairable = jnp.logical_and(run < sent, (rank & 1) == 0)
-        has_partner = jnp.logical_and(pairable, rank + 1 < cnt)
-        new_counts = (counts_b + 1) >> 1
-        new_start = jnp.cumsum(new_counts, axis=1) - new_counts  # exclusive
-        dest = jnp.where(
-            pairable,
-            jnp.take_along_axis(new_start, runc.astype(jnp.int32), axis=1)
-            + (rank >> 1),
-            jnp.uint32(m_next),  # out of bounds -> dropped
-        )
-        dst2src = jnp.full((g, m_next), width, jnp.uint32)
-        src_ids = jnp.broadcast_to(
-            jnp.arange(rank.shape[1], dtype=jnp.uint32)[None, :], rank.shape
-        )
-        dst2src = dst2src.at[w_rows, dest.astype(jnp.int32)].set(
-            src_ids, mode="drop")
-        return dst2src, has_partner, new_counts
+    goff_n = (jnp.arange(g, dtype=jnp.int32) * n)[:, None]
+    order_flat = order_signed.reshape(-1)
+    pt = order_flat[(goff_n + src_pos).reshape(-1)]  # [g*m0] signed ids
+    idx = jnp.where(valid.reshape(-1), (pt & jnp.uint32(0x7FFFFFFF)),
+                    jnp.uint32(n)).astype(jnp.int32)
+    V = xy_rows[idx]  # [g*m0, 128] flat row gather
+    neg = jnp.logical_and(valid.reshape(-1), (pt >> 31) != 0)
+    V = rows_pallas.negate_y(spec, V, neg)
 
-    row_w = _row_pad(2 * L + 3)
+    # ---- k gather-free halving levels: pure slices + fused affine add
+    mk = m0
+    ck = counts_p
+    for _ in range(k):
+        Pl = rows_pallas.unpack(spec, V[0::2])
+        Pr = rows_pallas.unpack(spec, V[1::2])
+        P3 = curve.affine_add(Pl, Pr, inv_fn)
+        V = rows_pallas.pack(spec, *P3)
+        mk //= 2
+        ck = ck >> 1
 
-    def pack_rows(P, run, rank):
-        """(x [L,g,m], y, inf) + metadata -> packed rows
-        [g, m, row_w] = [x | y | inf | run | rank | pad-to-256B]."""
-        x3, y3, i3 = P
-        parts = [
-            jnp.moveaxis(x3, 0, -1),
-            jnp.moveaxis(y3, 0, -1),
-            i3.astype(jnp.uint32)[..., None],
-            run[..., None],
-            rank[..., None],
-        ]
-        pad = row_w - (2 * L + 3)
-        if pad:
-            parts.append(jnp.zeros(x3.shape[1:] + (pad,), jnp.uint32))
-        return jnp.concatenate(parts, axis=-1)
+    # ---- finish: capped lockstep mixed-add rounds + compacted drain
+    start_k = jnp.cumsum(ck, axis=1) - ck  # [g, B] exclusive
+    goff_mk = (jnp.arange(g, dtype=jnp.int32) * mk)[:, None]
 
-    def unpack_rows(rows, slot_valid):
-        gx = jnp.moveaxis(rows[..., :L], -1, 0)
-        gy = jnp.moveaxis(rows[..., L : 2 * L], -1, 0)
-        ginf = jnp.logical_or(rows[..., 2 * L] != 0,
-                              jnp.logical_not(slot_valid))
+    def fetch_slots(pos, validr):
+        rows = V[(goff_mk + jnp.minimum(pos, mk - 1)).reshape(-1)]
+        gx, gy, ginf = rows_pallas.unpack(spec, rows)
+        gx = gx.reshape(L, g, n_buckets)
+        gy = gy.reshape(L, g, n_buckets)
+        ginf = jnp.logical_or(ginf.reshape(g, n_buckets),
+                              jnp.logical_not(validr))
         return (gx, gy, ginf)
 
-    # ---- level-0 metadata: run ids ARE the sort keys; rank = pos-start
-    run0 = sorted_key  # [g, n] uint32, n_buckets marks inactive slots
-    j = jnp.arange(n, dtype=jnp.uint32)[None, :]
-    run0c = jnp.minimum(run0, sent - 1).astype(jnp.int32)
-    rank0 = jnp.where(
-        run0 < sent, j - jnp.take_along_axis(startu, run0c, axis=1), 0
-    )
-
-    # ---- level 0: pair-add gathers points straight from the bases
-    m1 = min(n, (n + 1) // 2 + n_buckets)
-    dst2src, has_partner, counts_b = pair_plan(run0, rank0, counts_b, m1, n)
-    empty = dst2src >= n
-    srcc = jnp.minimum(dst2src, n - 1).astype(jnp.int32)
-    meta0 = jnp.stack(  # pack so ONE row gather fetches all three
-        [run0, rank0, has_partner.astype(jnp.uint32)], axis=-1)
-
-    def base_fetch(slot_idx, slot_valid):
-        """Returns ((x, y_raw, inf), neg_mask) — the digit sign rides
-        the permutation's top bit and is applied IN the fused affine
-        kernel (a separate [L, m] negate/select pass costs real HBM)."""
-        pt = jnp.take_along_axis(order_signed, slot_idx, axis=1)
-        rows = jax.vmap(lambda i: xy_rows[i])(
-            (pt & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-        )
-        gx = jnp.moveaxis(rows[..., :L], -1, 0)
-        gy = jnp.moveaxis(rows[..., L : 2 * L], -1, 0)
-        return (gx, gy, jnp.logical_not(slot_valid)), (pt >> 31) != 0
-
-    metaL = rows_take(meta0, srcc)  # [g, m1, 3]
-    runL = jnp.where(empty, sent, metaL[..., 0])
-    rankL = metaL[..., 1] >> 1
-    hp = jnp.logical_and(metaL[..., 2] != 0, jnp.logical_not(empty))
-    left, neg_l = base_fetch(srcc, jnp.logical_not(empty))
-    right, neg_r = base_fetch(jnp.minimum(srcc + 1, n - 1), hp)
-    V = pack_rows(
-        curve.affine_add(left, right, inv_fn, neg1=neg_l, neg2=neg_r),
-        runL, rankL)
-    m = m1
-
-    # ---- levels 1..: pair-add with COMPACTED (shrinking) widths.  The
-    # capacity after a halving level is sum(ceil(counts/2)) <=
-    # (m + B)/2, so slot arrays, gathers, and affine-add lanes all halve
-    # each level — round 3 ran these levels at FIXED width m1 to reuse
-    # one compiled shape, which (a) wasted 2^l of the work at level l
-    # and (b) OOM'd 2^22+ (three live [g, m1, 2L+3] arrays).  Distinct
-    # widths do cost extra Mosaic compiles, but pad_bucket collapses the
-    # inner Pallas shapes into {2^k, 0.75*2^k} buckets shared across
-    # levels AND problem sizes, and the persistent cache keeps them.
-    # Halve until the expected per-bucket occupancy n/(B*2^level)
-    # reaches the lockstep loop's sweet spot (~a few rounds).
-    occ = max(1, n // (2 * n_buckets))  # expected occupancy after lvl 0
-    levels = 0
-    while occ > 6 and levels < 5:
-        occ //= 2
-        levels += 1
-    for _ in range(levels):
-        run = V[..., 2 * L + 1]
-        rank = V[..., 2 * L + 2]
-        m_next = min(m, (m + n_buckets + 1) // 2)
-        dst2src, has_partner, counts_b = pair_plan(
-            run, rank, counts_b, m_next, m)
-        empty = dst2src >= m
-        srcc = jnp.minimum(dst2src, m - 1).astype(jnp.int32)
-        rowsL = rows_take(V, srcc)
-        rowsR = rows_take(V, jnp.minimum(srcc + 1, m - 1))
-        hp = jnp.logical_and(
-            jnp.take_along_axis(has_partner, srcc, axis=1),
-            jnp.logical_not(empty),
-        )
-        left = unpack_rows(rowsL, jnp.logical_not(empty))
-        right = unpack_rows(rowsR, hp)
-        runL = jnp.where(empty, sent, rowsL[..., 2 * L + 1])
-        rankL = rowsL[..., 2 * L + 2] >> 1
-        V = pack_rows(curve.affine_add(left, right, inv_fn), runL, rankL)
-        m = m_next
-
-    # ---- finish: capped lockstep mixed-add rounds over compacted slots
-    start_c = (jnp.cumsum(counts_b, axis=1) - counts_b).astype(jnp.int32)
-    counts_i = counts_b.astype(jnp.int32)
-
     def slot_round(r, acc):
-        pos = jnp.minimum(start_c + r, m - 1)
-        validr = r < counts_i
-        rows = rows_take(V, pos)
-        return curve.add_mixed(acc, unpack_rows(rows, validr))
+        return curve.add_mixed(acc, fetch_slots(start_k + r, r < ck))
 
     zero_pt = curve.zero((g, n_buckets))
-    counts_f = counts_i.reshape(-1)
+    counts_f = ck.reshape(-1)
     rounds_max = jnp.max(counts_f).astype(jnp.int32)
     WB = g * n_buckets
     K = min(max(64, WB // 16), WB)
@@ -625,21 +551,25 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
     buckets = jax.lax.fori_loop(0, rounds_full, slot_round, zero_pt)
     if WB > 2 * K:
         buckets = _drain_slot_tail(
-            curve, buckets, V, L, counts_f, start_c, rounds_full,
-            rounds_max, g, n_buckets, m, K)
+            curve, buckets, V, counts_f, start_k, goff_mk, rounds_full,
+            rounds_max, g, n_buckets, mk, K)
     return buckets
 
 
-def _drain_slot_tail(curve, buckets, V, L, counts_f, start_c, r0, r1, g,
-                     n_buckets, m, K):
+def _drain_slot_tail(curve, buckets, V, counts_f, start_k, goff_mk, r0, r1,
+                     g, n_buckets, mk, K):
     """Finish the <= K-1 overfull (window, bucket) pairs left by the
-    capped lockstep loop over compacted slots (same scheme as
-    _drain_bucket_tail, reading packed point-major slot rows)."""
+    capped lockstep loop, on a COMPACTED [K]-wide batch reading the flat
+    packed slot rows."""
+    from . import rows_pallas
+
+    spec = curve.base.spec
+    L = spec.n_limbs
     surv = jnp.argsort(-counts_f.astype(jnp.int32))[:K]
     w_idx = surv // n_buckets
-    start_cc = start_c.reshape(-1)[surv]
+    start_cc = start_k.reshape(-1)[surv]
     counts_cc = counts_f[surv]
-    VF = V.reshape(-1, V.shape[-1])  # [g*m, 2L+3]
+    base_off = (w_idx * mk).astype(jnp.int32)
 
     compact = tuple(
         jax.tree_util.tree_map(
@@ -649,13 +579,10 @@ def _drain_slot_tail(curve, buckets, V, L, counts_f, start_c, r0, r1, g,
     )
 
     def body(r, acc):
-        pos = jnp.minimum(start_cc + r, m - 1)
-        validr = r < counts_cc
-        rows = VF[w_idx * m + pos]  # [K, 2L+3]
-        gx = jnp.moveaxis(rows[..., :L], -1, 0)
-        gy = jnp.moveaxis(rows[..., L : 2 * L], -1, 0)
-        ginf = jnp.logical_or(rows[..., 2 * L] != 0,
-                              jnp.logical_not(validr))
+        pos = jnp.minimum(start_cc + r, mk - 1)
+        rows = V[base_off + pos]  # [K, 128]
+        gx, gy, ginf = rows_pallas.unpack(spec, rows)
+        ginf = jnp.logical_or(ginf, r >= counts_cc)
         return curve.add_mixed(acc, (gx, gy, ginf))
 
     compact = jax.lax.fori_loop(r0, r1, body, compact)

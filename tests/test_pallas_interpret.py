@@ -188,3 +188,35 @@ def test_affine_add_kernels_interpret(with_neg, interpret):
     ref = curve.affine_add(P, Q, inv_fn, neg1=neg1, neg2=neg2)
     for g, r in zip(got, ref):
         assert (np.asarray(g) == np.asarray(r)).all()
+
+
+@pytest.mark.parametrize("spec", SPECS)
+def test_row_pack_unpack_interpret(spec, interpret):
+    """rows_pallas pack/unpack/negate_y kernels vs their jnp fallbacks."""
+    from algebra_tpu.ops import rows_pallas
+
+    n = 130
+    _, x = _rand_elems(spec, n, 661)
+    _, y = _rand_elems(spec, n, 662)
+    inf = jnp.asarray(np.arange(n) % 7 == 3)
+    rows = rows_pallas.pack(spec, x, y, inf, block=128)
+    config.pallas_interpret = False  # jnp fallback as oracle
+    try:
+        ref = rows_pallas.pack(spec, x, y, inf)
+    finally:
+        config.pallas_interpret = True
+    assert (np.asarray(rows) == np.asarray(ref)).all()
+
+    gx, gy, ginf = rows_pallas.unpack(spec, rows, block=128)
+    assert (np.asarray(gx) == np.asarray(x)).all()
+    assert (np.asarray(gy) == np.asarray(y)).all()
+    assert (np.asarray(ginf) == np.asarray(inf)).all()
+
+    neg = jnp.asarray(np.arange(n) % 3 == 1)
+    got = rows_pallas.negate_y(spec, rows, neg, block=128)
+    config.pallas_interpret = False
+    try:
+        ref = rows_pallas.negate_y(spec, rows, neg)
+    finally:
+        config.pallas_interpret = True
+    assert (np.asarray(got) == np.asarray(ref)).all()
