@@ -136,6 +136,39 @@ def plan_windows(scalar_bits: int, c0: int, n: int):
     return best[1], best[2]
 
 
+def _tree_plan(n: int, n_buckets: int, num_windows: int):
+    """(k, m0, group) for the aligned positional-halving bucket phase.
+
+    k: halving levels (bucket counts pad to multiples of 2^k).
+    m0: per-window padded slot count, pad_bucket-family aligned and
+        divisible by 2^k so every level's slice widths stay in the
+        {2^j, 0.75*2^j} kernel-shape buckets with no re-padding.
+    group: windows per group, from the family-safe set, sized so peak
+        live bytes (~1.7 KB/slot at the level-0 -> level-1 transition:
+        packed rows + unpacked halves + affine internals + next level)
+        fit in ~13 GB HBM beside the bases.
+    """
+    from .mont_pallas import pad_bucket
+
+    occ = max(1, n // n_buckets)
+    k = 0
+    while occ > 4 and k < 4:
+        occ //= 2
+        k += 1
+    m0 = n + ((1 << k) - 1) * n_buckets
+    m0 = pad_bucket(m0, max(64 << k, 128))
+    budget_slots = (13 << 30) // 1700
+    allowed = [16, 12, 8, 6, 4, 3, 2, 1]
+    if m0 % 3 == 0:  # m0 = 3*2^i: g with a factor 3 would leave the family
+        allowed = [16, 8, 4, 2, 1]
+    group = 1
+    for g in allowed:
+        if g <= num_windows and g * m0 <= budget_slots:
+            group = g
+            break
+    return k, m0, group
+
+
 def _tree_take(value, idx):
     """Gather/slice along the leading BATCH axis of limb-major leaves."""
     return jax.tree_util.tree_map(lambda a: a[:, idx], value)
@@ -236,12 +269,7 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         # caps live level-0 memory (~1.2 KB/slot across the packed rows,
         # row gathers, and affine-add internals) under the ~14 GB HBM
         # left beside the bases; 2^24 runs at group=1.
-        # peak live bytes ~1.4 KB per level-0 slot (packed rows + the
-        # unpacked halves + affine-add internals); budget ~12.5 GB
-        # beside the bases.
-        m0_est = n + 7 * n_buckets
-        group = max(1, min(num_windows,
-                           max(1, (125 << 27) // (m0_est * 1400))))
+        _, _, group = _tree_plan(n, n_buckets, num_windows)
         # flat 2-D packed point rows [n + 1, 128] (512 B each): measured
         # on v5e, row gathers run ~15 ns/row on 128-u32 2-D arrays vs
         # ~60 ns on narrower/3-D layouts (exp/gather_bench.py), and the
@@ -471,19 +499,13 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
     from . import rows_pallas
 
     # ---- plan: k halving levels; pad counts to multiples of 2^k
-    occ = max(1, n // n_buckets)
-    k = 0
-    while occ > 4 and k < 4:  # stop when ~4 lockstep rounds remain
-        occ //= 2
-        k += 1
+    k, m0, _ = _tree_plan(n, n_buckets, 1)
     pad_unit = 1 << k
 
     counts_i = counts.astype(jnp.int32)  # [g, B]
     start_i = start.astype(jnp.int32)
     counts_p = ((counts_i + (pad_unit - 1)) >> k) << k
     start_p = jnp.cumsum(counts_p, axis=1) - counts_p  # exclusive
-    m0 = n + (pad_unit - 1) * n_buckets
-    m0 = ((m0 + pad_unit - 1) >> k) << k  # window stride, 2^k-aligned
 
     # ---- expand: run id per padded slot (scatter-max + cummax fill)
     w_rows = jnp.arange(g, dtype=jnp.int32)[:, None]
@@ -510,15 +532,19 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
                     jnp.uint32(n)).astype(jnp.int32)
     V = xy_rows[idx]  # [g*m0, 128] flat row gather
     neg = jnp.logical_and(valid.reshape(-1), (pt >> 31) != 0)
-    V = rows_pallas.negate_y(spec, V, neg)
+    if k == 0:  # tiny problems: no halving level to absorb the signs
+        V = rows_pallas.negate_y(spec, V, neg)
 
-    # ---- k gather-free halving levels: pure slices + fused affine add
+    # ---- k gather-free halving levels: pure slices + fused affine add.
+    # The digit signs ride into the FIRST level's fused kernels as neg
+    # masks (negating inside a separate pass would double the live V).
     mk = m0
     ck = counts_p
-    for _ in range(k):
+    for lvl in range(k):
         Pl = rows_pallas.unpack(spec, V[0::2])
         Pr = rows_pallas.unpack(spec, V[1::2])
-        P3 = curve.affine_add(Pl, Pr, inv_fn)
+        negs = (neg[0::2], neg[1::2]) if lvl == 0 else (None, None)
+        P3 = curve.affine_add(Pl, Pr, inv_fn, neg1=negs[0], neg2=negs[1])
         V = rows_pallas.pack(spec, *P3)
         mk //= 2
         ck = ck >> 1

@@ -58,8 +58,9 @@ def main(log_sizes):
         B = 1 << (c - 1)
         print(f"# 2^{log_n}: c={c} W={W} B={B}", flush=True)
 
-        group = max(1, min(W, (1 << 25) // max(n, 1)))
+        _, _, group = msm_mod._tree_plan(n, B, W)
         n_groups = -(-W // group)
+        print(f"# group={group} n_groups={n_groups}", flush=True)
 
         def recode(g0, g1, scalars, inf):
             digits = msm_mod.signed_digits(
@@ -89,7 +90,14 @@ def main(log_sizes):
         recode_j = jax.jit(recode, static_argnums=(0, 1))
 
         def buckets_fn(x, y, order_signed, skey, start, counts):
-            xy_rows = jnp.concatenate([x, y], axis=0).T
+            from algebra_tpu.ops import rows_pallas
+
+            L = x.shape[0]
+            base_rows = rows_pallas.pack(curve.base.spec, x, y,
+                                         jnp.zeros((n,), bool))
+            sentinel = jnp.zeros((1, rows_pallas.ROW_W), jnp.uint32)
+            sentinel = sentinel.at[0, 2 * L].set(1)
+            xy_rows = jnp.concatenate([base_rows, sentinel], axis=0)
             return msm_mod._affine_tree_buckets(
                 curve, xy_rows, order_signed, skey, start, counts, n, B)
 
