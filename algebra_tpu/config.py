@@ -28,6 +28,17 @@ msm_affine_tree: bool | None = None
 # test suite execute the kernel definitions themselves.
 pallas_interpret: bool = False
 
+# MSM planner cost model (seconds per unit), measured on v5e via
+# exp/msm_phases.py (round 4; see NOTES.md).  Override for other
+# hardware; the planner only uses RATIOS, so rough values are fine.
+#   recode:  per window-point (signed digits + sort + tables)
+#   slot:    per padded tree slot (expansion gather + halving levels
+#            + lockstep, amortized)
+#   bucket:  per (window, bucket) in the weighted reduction
+msm_cost_recode: float = 36e-9
+msm_cost_slot: float = 115e-9
+msm_cost_bucket: float = 2.0e-7
+
 
 def msm_affine_tree_enabled() -> bool:
     if msm_affine_tree is not None:

@@ -101,17 +101,23 @@ def signed_digits(scalars: jnp.ndarray, c: int, num_windows: int,
     return jnp.stack(digits, axis=0)
 
 
-def plan_windows(scalar_bits: int, c0: int, n: int):
-    """Pick (c, W) near the heuristic c0 so that the final (unsigned)
-    window stays balanced.
+def plan_windows(scalar_bits: int, c0: int, n: int,
+                 tree: bool | None = None):
+    """Pick (c, W) minimizing a measured cost model.  c is capped at 16
+    (digits must span <= 2 limbs); the final unsigned window must fit
+    the signed bucket range (leftover <= c - 1).
 
-    The last window holds ``leftover = scalar_bits - c*(W-1)`` bits, so
-    its ~n points spread over only 2^leftover buckets; small leftovers
-    make its per-bucket occupancy (and the serial continuation loop that
-    drains it) explode.  Score = lockstep rounds (~n/2^(c-1)) + the
-    continuation rounds (~n/2^leftover), weighted by their relative
-    width.  c is capped at 16 (digits must span <= 2 limbs).
+    Tree path (TPU): score = W * (n*recode + m0(c)*slot + B*bucket) with
+    the per-unit costs measured on v5e and stored in config
+    (msm_cost_*) — the round-3 version hard-coded launch/lane-add
+    guesses; these constants are calibrated from exp/msm_phases.py and
+    overridable per backend.  CPU (lockstep path): the original
+    launch/lane-add latency model, which tracks XLA:CPU behavior.
     """
+    from .. import config
+
+    if tree is None:
+        tree = config.msm_affine_tree_enabled()
     best = None
     for c in range(max(4, c0 - 3), min(16, c0 + 2) + 1):
         W = -(-scalar_bits // c)
@@ -119,12 +125,18 @@ def plan_windows(scalar_bits: int, c0: int, n: int):
         if leftover > c - 1:
             continue  # unsigned top value would overflow the bucket range
         B = 1 << (c - 1)
-        # time model: sequential kernel launches are latency-bound
-        # (~1ms each through the runtime) while the arithmetic streams at
-        # ~20ns per lane-add; both matter, at very different rates.
-        launches = 1.3 * n / B + n / (1 << leftover) + 2 * (c - 1)
-        lane_adds = 2 * n * W + 2 * (c - 1) * W * B + (n / (1 << leftover)) * B
-        score = launches * 1e-3 + lane_adds * 22e-9
+        if tree:
+            k, m0, _ = _tree_plan(n, B, 1)
+            score = W * (n * config.msm_cost_recode
+                         + m0 * config.msm_cost_slot
+                         + B * config.msm_cost_bucket)
+        else:
+            # sequential kernel launches are latency-bound (~1ms each)
+            # while arithmetic streams at ~20ns per lane-add.
+            launches = 1.3 * n / B + n / (1 << leftover) + 2 * (c - 1)
+            lane_adds = (2 * n * W + 2 * (c - 1) * W * B
+                         + (n / (1 << leftover)) * B)
+            score = launches * 1e-3 + lane_adds * 22e-9
         if best is None or score < best[0]:
             best = (score, c, W)
     if best is None:  # pathological scalar_bits; fall back to c=4

@@ -156,13 +156,13 @@ def bench_msm(log_sizes=(16, 18, 20, 22, 24), curve_name="g1"):
         bases_n = (curve.base.index(aff[0], slice(0, n)),
                    curve.base.index(aff[1], slice(0, n)), aff[2][:n])
         sc_n = scalars[:, :n]
-        if log_n >= 23:
+        if log_n >= 22:
             # streaming chunks (the reference's msm_chunks mode,
             # variable_base/mod.rs:54-85): single-shot level-0 slot
-            # arrays exceed HBM beyond 2^22; chunking also reuses the
-            # 2^22 compiled kernels.
+            # arrays exceed HBM beyond 2^21; chunking also reuses the
+            # 2^21 compiled kernels across all larger sizes.
             f = jax.jit(lambda b, s: msm_mod.msm_chunks(curve, b, s,
-                                                        chunk=1 << 22))
+                                                        chunk=1 << 21))
         else:
             f = jax.jit(lambda b, s: msm_mod.msm(curve, b, s))
 
