@@ -30,6 +30,7 @@ accepts Montgomery-form field elements and converts (the reference's
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -169,7 +170,10 @@ def _tree_plan(n: int, n_buckets: int, num_windows: int):
         k += 1
     m0 = n + ((1 << k) - 1) * n_buckets
     m0 = pad_bucket(m0, max(64 << k, 128))
-    budget_slots = (13 << 30) // 1700
+    # empirically ~2.6 KB live per level-0 slot at peak (XLA keeps the
+    # gather output, both unpacked halves, affine internals and the next
+    # level alive together); 6M slots measured to fit, 6.3M to OOM.
+    budget_slots = 6 << 20
     allowed = [16, 12, 8, 6, 4, 3, 2, 1]
     if m0 % 3 == 0:  # m0 = 3*2^i: g with a factor 3 would leave the family
         allowed = [16, 8, 4, 2, 1]
@@ -796,29 +800,61 @@ def _tree_sum(curve, P, axis: int):
     return jax.tree_util.tree_map(lambda a: jnp.squeeze(a, axis=axis), P)
 
 
+@functools.lru_cache(maxsize=None)
+def _chunk_jit(curve, c):
+    return jax.jit(lambda b, s: msm(curve, b, s, c=c))
+
+
+@functools.lru_cache(maxsize=None)
+def _add_jit(curve):
+    return jax.jit(lambda p, q: curve.add(p, tuple(q)))
+
+
 def msm_chunks(curve, bases_aff, scalars: jnp.ndarray, chunk: int = 1 << 20,
                c: int | None = None):
-    """Streaming MSM over host-resident inputs: device-sized chunks are
-    MSM'd independently and their partial points accumulated — the
-    reference's ``msm_chunks`` / ChunkedPippenger streaming mode
+    """Streaming MSM over chunked inputs: device-sized chunks are MSM'd
+    independently and their partial points accumulated — the reference's
+    ``msm_chunks`` / ChunkedPippenger streaming mode
     (variable_base/mod.rs:54-85, stream_pippenger.rs:10-60).  Each
     partial is one Jacobian point, so checkpoint/resume costs 3 field
-    elements per chunk boundary."""
+    elements per chunk boundary.
+
+    Chunks run as SEPARATE jit dispatches (cached per (curve, c)): when
+    the whole loop sat inside one jit, XLA's scheduler interleaved the
+    independent chunk computations and kept several chunks' level-0
+    buffers live at once (measured 20.8 GB at 2^22 vs one chunk's
+    ~10 GB).  Under an enclosing jit the inner jits inline and behavior
+    matches the traced form.
+    """
     n = scalars.shape[1]
     if c is None:
-        c = default_window_size(min(n, chunk))
+        # plan on the per-chunk size (the naive default_window_size gave
+        # c=15 where the measured-cost planner picks 16 — 2.5x slower
+        # chunks at 2^20)
+        nc = min(n, chunk)
+        scalar_bits = min(16 * scalars.shape[0],
+                          curve.scalar_modulus.bit_length())
+        c, _ = plan_windows(scalar_bits, default_window_size(nc), nc)
     total = None
     x, y, inf = bases_aff
+    run = _chunk_jit(curve, c)
+    addj = _add_jit(curve)
+    eager = not isinstance(scalars, jax.core.Tracer)
     for off in range(0, n, chunk):
         end = min(off + chunk, n)
-        part = msm(
-            curve,
+        part = run(
             (_tree_take(x, slice(off, end)), _tree_take(y, slice(off, end)),
              inf[off:end]),
             scalars[:, off:end],
-            c=c,
         )
-        total = part if total is None else curve.add(total, part)
+        if eager:
+            # fence each chunk: letting several near-HBM-capacity chunk
+            # programs queue async measured 2.5x slower end-to-end
+            # (allocation churn); a 16-byte fetch serializes cleanly.
+            # (block_until_ready does not fence on the axon backend.)
+            np.asarray(jax.device_get(
+                jax.tree_util.tree_leaves(part)[0].ravel()[:2]))
+        total = part if total is None else addj(total, part)
     return total
 
 

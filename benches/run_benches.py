@@ -158,11 +158,13 @@ def bench_msm(log_sizes=(16, 18, 20, 22, 24), curve_name="g1"):
         sc_n = scalars[:, :n]
         if log_n >= 22:
             # streaming chunks (the reference's msm_chunks mode,
-            # variable_base/mod.rs:54-85): single-shot level-0 slot
-            # arrays exceed HBM beyond 2^21; chunking also reuses the
-            # 2^21 compiled kernels across all larger sizes.
-            f = jax.jit(lambda b, s: msm_mod.msm_chunks(curve, b, s,
-                                                        chunk=1 << 21))
+            # variable_base/mod.rs:54-85): single-shot level-0 buffers
+            # exceed HBM beyond ~2^20 (2^21 measured 16.5 GB live);
+            # 2^20 chunks reuse one compiled kernel set for all sizes.
+            # NOT wrapped in an outer jit: each chunk must be its own
+            # dispatch so XLA cannot interleave chunk buffers (OOM).
+            f = lambda b, s: msm_mod.msm_chunks(curve, b, s,
+                                                chunk=1 << 20)
         else:
             f = jax.jit(lambda b, s: msm_mod.msm(curve, b, s))
 
