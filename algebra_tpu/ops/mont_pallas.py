@@ -42,19 +42,6 @@ def _interp() -> bool:
     return bool(config.pallas_interpret)
 
 
-def _upd(cols, i, width, fn):
-    """2-D segment update via pure slice + concat (mosaic lowers these
-    natively; .at[...].set routes through scatter, which it can't)."""
-    seg = fn(cols[i : i + width])
-    parts = []
-    if i > 0:
-        parts.append(cols[:i])
-    parts.append(seg)
-    if i + width < cols.shape[0]:
-        parts.append(cols[i + width :])
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-
-
 def _p_full(spec: FieldSpec, nb):
     """[L, nb] modulus constant from scalar broadcasts (pallas kernels
     cannot capture array constants; scalar fills are fine)."""
@@ -76,31 +63,6 @@ def _lm_propagate(spec: FieldSpec, t, nb):
     carry = carry + t[L]
     res = jnp.stack(out_rows, axis=0)  # [L, NB]
     return _lm_cond_sub(spec, res, carry)
-
-
-def _lm_reduce(spec: FieldSpec, cols, nb):
-    """Interleaved Montgomery reduction + carry propagation of a
-    [2L+1, N] column accumulator (used by _lm_sq).
-
-    Sliding-window formulation: the live state is an (L+1)-row window
-    that shifts down one column per round, folding the retired column's
-    carry and streaming in the next high column — 3 window rebuilds per
-    round instead of 5 segment updates on the full 2L+1 array (measured
-    ~25% faster end-to-end on v5e; see exp/fr_mul_ab.py)."""
-    L = spec.n_limbs
-    inv = int(spec.inv16)
-    p_full = _p_full(spec, nb)
-    t = cols[: L + 1]
-    for i in range(L):
-        m = ((t[0] & _M16) * inv) & _M16
-        mp = m[None, :] * p_full  # [L, NB]
-        t = jnp.concatenate([t[:L] + (mp & _M16), t[L:]], axis=0)
-        t0c = t[0] >> 16  # t[0] & _M16 == 0 by the Montgomery invariant
-        t = jnp.concatenate(
-            [(t[1] + t0c)[None], t[2:], cols[L + 1 + i][None]], axis=0
-        )
-        t = jnp.concatenate([t[:L] + (mp >> 16), t[L:]], axis=0)
-    return _lm_propagate(spec, t, nb)
 
 
 def _lm_mul(spec: FieldSpec, a, b):
@@ -134,30 +96,40 @@ def _lm_mul(spec: FieldSpec, a, b):
 
 
 def _lm_sq(spec: FieldSpec, a):
-    """Montgomery squaring: upper-triangle columns (off-diagonal terms
-    doubled) use L(L+1)/2 limb products instead of L^2 — bit-identical
-    to _lm_mul(a, a) (same value in a different redundant column
-    representation; the reduction is shared)."""
+    """Montgomery squaring on the same (L+1)-row sliding window as
+    _lm_mul: round i multiplies the NEW limb a[i] against a[0..i]
+    (off-diagonal products doubled — pair (j,i) stands for
+    a[j]a[i] + a[i]a[j]), so every contribution of round i lands in
+    window rows 0..i+1 and the 2L+1 schoolbook columns are never
+    materialized.  L(L+1)/2 limb products instead of _lm_mul's L^2.
+    Bit-identical to _lm_mul(a, a) (inverse mirror of the reference's
+    dedicated squaring, montgomery_backend.rs:217-293).
+
+    Overflow headroom: a row receives <= 2*(2^17 + 2^16) per round and
+    lives <= L+1 rounds, so peak < L * 2^18.6 < 2^25 for L <= 48."""
     L = spec.n_limbs
     nb = a.shape[1]
-    cols = jnp.zeros((2 * L + 1, nb), jnp.uint32)
+    inv = int(spec.inv16)
+    p_full = _p_full(spec, nb)
+    zero1 = jnp.zeros((1, nb), jnp.uint32)
+    t = jnp.zeros((L + 1, nb), jnp.uint32)
     for i in range(L):
-        prod = a[i][None, :] * a[i:]  # [L-i, NB]
+        prod = a[: i + 1] * a[i][None, :]  # [i+1, NB]
         lo = prod & _M16
         hi = prod >> 16
-        w = L - i
-        if w == 1:  # mosaic rejects zero-length slices
-            dbl_lo, dbl_hi = lo, hi
-        else:
-            dbl_lo = jnp.concatenate([lo[:1], lo[1:] * 2], axis=0)
-            dbl_hi = jnp.concatenate([hi[:1], hi[1:] * 2], axis=0)
-
-        def acc(seg, dbl_lo=dbl_lo, dbl_hi=dbl_hi, w=w):
-            seg = jnp.concatenate([seg[:w] + dbl_lo, seg[w:]], axis=0)
-            return jnp.concatenate([seg[:1], seg[1:] + dbl_hi], axis=0)
-
-        cols = _upd(cols, 2 * i, w + 1, acc)
-    return _lm_reduce(spec, cols, nb)
+        if i > 0:  # double the off-diagonal terms (rows j < i)
+            lo = jnp.concatenate([lo[:i] * 2, lo[i:]], axis=0)
+            hi = jnp.concatenate([hi[:i] * 2, hi[i:]], axis=0)
+        w = i + 1
+        m = (((t[0] + lo[0]) & _M16) * inv) & _M16
+        mp = m[None, :] * p_full  # [L, NB]
+        t = jnp.concatenate([t[:w] + lo, t[w:]], axis=0)
+        t = jnp.concatenate([t[:L] + (mp & _M16), t[L:]], axis=0)
+        t0c = t[0] >> 16  # t[0] & _M16 == 0 by the Montgomery invariant
+        t = jnp.concatenate([(t[1] + t0c)[None], t[2:], zero1], axis=0)
+        t = jnp.concatenate([t[:w] + hi, t[w:]], axis=0)
+        t = jnp.concatenate([t[:L] + (mp >> 16), t[L:]], axis=0)
+    return _lm_propagate(spec, t, nb)
 
 
 def _lm_cond_sub(spec: FieldSpec, res, carry):
