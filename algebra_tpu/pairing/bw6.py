@@ -206,6 +206,86 @@ class BW6:
         (f, _), _ = jax.lax.scan(body, (f0, r0), digits)
         return f
 
+    def _prep_loop(self, digits_le_signed, q_xy, shape):
+        """Coefficient recurrence for one loop, coefficients stacked
+        along a leading step axis (the reference precomputes exactly
+        this once per Q: bw6/g2.rs:23-121)."""
+        F = self.fq
+        qx, qy = q_xy
+        r0 = (qx, qy, F.one(shape))
+        n = len(digits_le_signed)
+        sched = [digits_le_signed[n - 1 - j - 1] for j in range(n - 1)]
+        digits = jnp.asarray(sched, jnp.int8)
+
+        def sel_pt(mask, a, b):
+            return tuple(F.select(mask, u, v) for u, v in zip(a, b))
+
+        def body(r, d):
+            r, c_dbl = self._double_step(r, shape)
+            is_neg = jnp.broadcast_to(d == -1, shape)
+            qy_sel = F.select(is_neg, F.neg(qy), qy)
+            r_add, c_add = self._add_step(r, (qx, qy_sel))
+            m = jnp.broadcast_to(d != 0, shape)
+            r = sel_pt(m, r_add, r)
+            return r, (c_dbl, c_add)
+
+        _, coeffs = jax.lax.scan(body, r0, digits)
+        return coeffs
+
+    def _loop_prepared(self, digits_le_signed, p_xy, coeffs, shape):
+        """One loop consuming precomputed coefficients — only the Fp6
+        square + two sparse line multiplications per step remain."""
+        F6 = self.fp6
+        px, py = p_xy
+        n = len(digits_le_signed)
+        sched = [digits_le_signed[n - 1 - j - 1] for j in range(n - 1)]
+        digits = jnp.asarray(sched, jnp.int8)
+
+        def body(f, step):
+            c_dbl, c_add, d = step
+            f = F6.square(f)
+            f = self._ell(f, c_dbl, px, py)
+            f_add = self._ell(f, c_add, px, py)
+            m = jnp.broadcast_to(d != 0, shape)
+            f = F6.select(m, f_add, f)
+            return f, None
+
+        f, _ = jax.lax.scan(
+            body, F6.one(shape), (coeffs[0], coeffs[1], digits)
+        )
+        return f
+
+    def prepare_g2(self, q_aff):
+        """G2Prepared: run both loops' line-coefficient recurrences once
+        and stack the per-step coefficients (bw6/g2.rs:49-121), for
+        reuse across Miller loops with the same Q (the SNARK-verifier
+        pattern).  Opaque pytree for ``miller_loop_prepared``."""
+        qx, qy, q_inf = q_aff
+        shape = self.fq.batch_shape(jax.tree_util.tree_leaves(qx)[0])
+        bits1 = [1 if b == "1" else 0 for b in bin(self.ate1)[2:]]
+        c1 = self._prep_loop(list(reversed(bits1)), (qx, qy), shape)
+        c2 = self._prep_loop(self.ate2, (qx, qy), shape)
+        return (c1, c2, q_inf)
+
+    def miller_loop_prepared(self, p_aff, prepared):
+        """Alg. 5 combined loop from precomputed coefficients —
+        bit-identical output to ``miller_loop``."""
+        F6 = self.fp6
+        px, py, p_inf = p_aff
+        c1, c2, q_inf = prepared
+        shape = self.fq.batch_shape(px)
+        bits1 = [1 if b == "1" else 0 for b in bin(self.ate1)[2:]]
+        f1 = self._loop_prepared(list(reversed(bits1)), (px, py), c1, shape)
+        if self.ate1_neg:
+            f1 = F6.cyclotomic_inverse(f1)
+        f2 = self._loop_prepared(self.ate2, (px, py), c2, shape)
+        if self.ate2_neg:
+            f2 = F6.cyclotomic_inverse(f2)
+        f2 = F6.frobenius(f2, 1)
+        f = F6.mul(f1, f2)
+        skip = jnp.logical_or(p_inf, q_inf)
+        return F6.select(skip, F6.one(shape), f)
+
     def miller_loop(self, p_aff, q_aff):
         """Alg. 5 of eprint 2020/351 (bw6/mod.rs:54-127), batched."""
         F6 = self.fp6

@@ -263,6 +263,118 @@ class MNTEngine:
         skip = jnp.logical_or(p_inf, q_inf)
         return F4.select(skip, F4.one(shape), f)
 
+    # ------------------------------------------------------------ prepared G2
+    def prepare_g2(self, q_aff):
+        """G2Prepared for the flipped ate loop: run the double/add
+        coefficient recurrence once per Q, stacking the per-step
+        coefficients (the reference's AteDoubleCoefficients /
+        AteAdditionCoefficients, mnt4/g2.rs:24-90), together with
+        x/y over twist and the ate_neg tail-add coefficients.  Opaque
+        pytree for ``miller_loop_prepared``."""
+        F2 = self.coeff_field
+        qx, qy, q_inf = q_aff
+        shape = self.fq.batch_shape(jax.tree_util.tree_leaves(qx)[0])
+
+        twist = F2.constant(self.twist_host, shape)
+        twist_inv = F2.inverse(twist)
+        x_over_twist = F2.mul(qx, twist_inv)
+        y_over_twist = F2.mul(qy, twist_inv)
+
+        r0 = (qx, qy, F2.one(shape), F2.one(shape))
+        digits = jnp.asarray(self.ate[1:], jnp.int8)
+
+        def sel4(mask, a, b):
+            return tuple(F2.select(mask, u, v) for u, v in zip(a, b))
+
+        def body(r, d):
+            r, dc = self._double_step(r, shape)
+            is_neg = jnp.broadcast_to(d == -1, shape)
+            qy_sel = F2.select(is_neg, F2.neg(qy), qy)
+            r_add, ac = self._add_step(r, qx, qy_sel)
+            m = jnp.broadcast_to(d != 0, shape)
+            r = sel4(m, r_add, r)
+            return r, (dc, ac)
+
+        r, (dcs, acs) = jax.lax.scan(body, r0, digits)
+
+        tail_ac = None
+        if self.ate_neg:
+            rx, ry, rz, rt = r
+            rz_inv = F2.inverse(rz)
+            rz2 = F2.square(rz_inv)
+            rz3 = F2.mul(rz_inv, rz2)
+            mx = F2.mul(rx, rz2)
+            my = F2.neg(F2.mul(ry, rz3))
+            _, tail_ac = self._add_step(r, mx, my)
+        return dict(
+            dcs=dcs, acs=acs, tail_ac=tail_ac,
+            x_over_twist=x_over_twist, y_over_twist=y_over_twist,
+            q_inf=q_inf,
+        )
+
+    def miller_loop_prepared(self, p_aff, prepared):
+        """Flipped ate loop from precomputed coefficients — bit-identical
+        output to ``miller_loop`` (mnt4/mod.rs:122-163 consuming
+        ``G2Prepared``); only the target square + two g-evaluations per
+        step remain."""
+        F2, F4 = self.coeff_field, self.target
+        px, py, p_inf = p_aff
+        shape = self.fq.batch_shape(px)
+
+        twist = F2.constant(self.twist_host, shape)
+        x_twist = F2.mul_by_base(twist, px)
+        y_twist = F2.mul_by_base(twist, py)
+
+        from ..fields.cubic import CubicExtField
+
+        arity = 3 if isinstance(F2, CubicExtField) else 2
+        embedded = (px,) + tuple(self.fq.zero(shape) for _ in range(arity - 1))
+        l1_coeff = F2.sub(embedded, prepared["x_over_twist"])
+
+        y_over_twist = prepared["y_over_twist"]
+        neg_y_over_twist = F2.neg(y_over_twist)
+        digits = jnp.asarray(self.ate[1:], jnp.int8)
+
+        def body(f, step):
+            dc, ac, d = step
+            g_rr = (
+                F2.add(F2.sub(F2.neg(dc["c_4c"]), F2.mul(dc["c_j"], x_twist)),
+                       dc["c_l"]),
+                F2.mul(dc["c_h"], y_twist),
+            )
+            f = F4.mul(F4.square(f), g_rr)
+            is_neg = jnp.broadcast_to(d == -1, shape)
+            y_over_sel = F2.select(is_neg, neg_y_over_twist, y_over_twist)
+            g_rq = (
+                F2.mul(ac["c_rz"], y_twist),
+                F2.neg(
+                    F2.add(F2.mul(y_over_sel, ac["c_rz"]),
+                           F2.mul(l1_coeff, ac["c_l1"]))
+                ),
+            )
+            f_add = F4.mul(f, g_rq)
+            m = jnp.broadcast_to(d != 0, shape)
+            f = F4.select(m, f_add, f)
+            return f, None
+
+        f, _ = jax.lax.scan(
+            body, F4.one(shape), (prepared["dcs"], prepared["acs"], digits)
+        )
+
+        if self.ate_neg:
+            ac = prepared["tail_ac"]
+            g = (
+                F2.mul(ac["c_rz"], y_twist),
+                F2.neg(
+                    F2.add(F2.mul(y_over_twist, ac["c_rz"]),
+                           F2.mul(l1_coeff, ac["c_l1"]))
+                ),
+            )
+            f = F4.inverse(F4.mul(f, g))
+
+        skip = jnp.logical_or(p_inf, prepared["q_inf"])
+        return F4.select(skip, F4.one(shape), f)
+
     # ------------------------------------------------------------ final exp
     def final_exponentiation(self, f):
         """Easy chunk then f^(w1*p + w0) (mnt4/mod.rs:165-212 and the

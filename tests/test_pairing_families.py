@@ -135,3 +135,45 @@ def test_bn254_prepared_miller_loop_matches():
         jax.tree_util.tree_leaves(f_ref), jax.tree_util.tree_leaves(f_new)
     ):
         assert np.array_equal(np.asarray(u), np.asarray(v))
+
+
+def _check_prepared_matches(inst, seed):
+    """prepare_g2 + miller_loop_prepared == the fused miller_loop,
+    bit-exact (the reference precomputes per-step coefficients once per
+    Q for exactly this reuse: bw6/g2.rs:23-121, mnt4/g2.rs:24-90)."""
+    import jax
+    import numpy as np
+
+    ctx = inst.pairing()
+    g1, g2 = inst.g1(), inst.g2()
+    P = g1.from_host(
+        [g1.generator_host, g1.host_mul(g1.generator_host, 5), None]
+    )
+    Q = g2.from_host(
+        [g2.host_mul(g2.generator_host, 9), g2.generator_host,
+         g2.generator_host]
+    )
+    f_ref = ctx.miller_loop(P, Q)
+    f_new = ctx.miller_loop_prepared(P, ctx.prepare_g2(Q))
+    for u, v in zip(
+        jax.tree_util.tree_leaves(f_ref), jax.tree_util.tree_leaves(f_new)
+    ):
+        assert np.array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_bw6_761_prepared_miller_loop_matches():
+    from algebra_tpu.curves.instances import bw6_761 as inst
+
+    _check_prepared_matches(inst, 2001)
+
+
+def test_mnt4_753_prepared_miller_loop_matches():
+    from algebra_tpu.curves.instances import mnt4_753 as inst
+
+    _check_prepared_matches(inst, 2002)
+
+
+def test_mnt6_toy_prepared_miller_loop_matches():
+    from algebra_tpu.curves.instances import mnt6_toy as inst
+
+    _check_prepared_matches(inst, 2003)
