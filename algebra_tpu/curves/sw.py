@@ -492,7 +492,9 @@ class SWCurve:
 
             return glv_mod.glv_mul(self, P, scalars)
         bits = scalar_bits_le(scalars)  # [nbits, ...]
-        acc = self.zero(self.batch_shape(P))
+        from ..utils.vma import match_vma
+
+        acc = match_vma(self.zero(self.batch_shape(P)), (P, bits))
 
         def body(acc, bit):
             acc = self.double(acc)
@@ -532,7 +534,9 @@ class SWCurve:
         bits = jnp.asarray(
             [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.bool_
         )
-        acc = self.zero(self.batch_shape(P))
+        from ..utils.vma import match_vma
+
+        acc = match_vma(self.zero(self.batch_shape(P)), P)
         shape = self.batch_shape(P)
 
         def body(acc, bit):

@@ -365,7 +365,9 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
     # ~30% of rounds on a tail that touches <2% of buckets.  The lockstep
     # loop therefore stops at the K-th largest count (guaranteeing <= K-1
     # unfinished buckets), and a COMPACTED [K]-wide loop drains the tail.
-    zero_pt = curve.zero((num_windows, n_buckets))
+    from ..utils.vma import match_vma
+
+    zero_pt = match_vma(curve.zero((num_windows, n_buckets)), (x_row, order))
     is_neg_b = jnp.broadcast_to(is_neg, (num_windows, n))
     counts_f = (counts[:-1] if num_windows > 1 else counts).reshape(-1)
     rounds_max = jnp.max(counts_f)
@@ -450,7 +452,11 @@ def _horner_fold(curve, window_sums, c: int):
             total = curve.double(total)
         return curve.add(total, tuple(wsum)), None
 
-    total, _ = jax.lax.scan(fold, curve.zero(()), wsums_scan)
+    from ..utils.vma import match_vma
+
+    total, _ = jax.lax.scan(
+        fold, match_vma(curve.zero(()), wsums_scan), wsums_scan
+    )
     return total
 
 
@@ -581,7 +587,9 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
     def slot_round(r, acc):
         return curve.add_mixed(acc, fetch_slots(start_k + r, r < ck))
 
-    zero_pt = curve.zero((g, n_buckets))
+    from ..utils.vma import match_vma
+
+    zero_pt = match_vma(curve.zero((g, n_buckets)), (V, ck))
     counts_f = ck.reshape(-1)
     rounds_max = jnp.max(counts_f).astype(jnp.int32)
     WB = g * n_buckets
@@ -731,7 +739,11 @@ def _weighted_tree_reduce(curve, P):
         accW = curve.add(accW, accT)  # sum of suffixes = (i+1)-weighted
         return (accT, accW), None
 
-    (T, innerW), _ = jax.lax.scan(inner, (zb, zb), Pr, reverse=True)
+    from ..utils.vma import match_vma
+
+    (T, innerW), _ = jax.lax.scan(
+        inner, match_vma((zb, zb), Pr), Pr, reverse=True
+    )
 
     # leaves [L, W, nb] -> [nb, L, W]
     to_scan = lambda Q: tuple(
@@ -748,8 +760,9 @@ def _weighted_tree_reduce(curve, P):
         accI = curve.add(accI, tuple(wb))
         return (accT, accB, accI), None
 
+    xs = (to_scan(T), to_scan(innerW))
     (_, accB, accI), _ = jax.lax.scan(
-        outer, (zw, zw, zw), (to_scan(T), to_scan(innerW)), reverse=True
+        outer, match_vma((zw, zw, zw), xs), xs, reverse=True
     )
     for _ in range(G.bit_length() - 1):  # * G (a power of two)
         accB = curve.double(accB)
@@ -769,7 +782,9 @@ def scan_sum(curve, P, axis: int = 0):
     def body(acc, p):
         return curve.add(acc, tuple(p)), None
 
-    total, _ = jax.lax.scan(body, curve.zero(rest), P0)
+    from ..utils.vma import match_vma
+
+    total, _ = jax.lax.scan(body, match_vma(curve.zero(rest), P0), P0)
     return total
 
 

@@ -33,22 +33,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
-    """shard_map across jax versions, with replication/varying-axis
-    checking off (our kernels mix replicated tables with sharded data
-    inside lax.scan carries, which the checker rejects).
+    """shard_map across jax versions, with the varying-manual-axes
+    checker ON (jax's one static guard on cross-shard correctness).
+    Scan carries initialized from replicated constants are pcast to the
+    data's vma set where needed (utils/vma.match_vma); outputs built by
+    in-body all_gathers — whose replication the checker cannot infer —
+    are instead returned through sharded out_specs and folded outside.
 
-    jax >= 0.8: jax.shard_map(check_vma=False); older: the experimental
-    module's check_rep=False."""
+    jax >= 0.8: jax.shard_map(check_vma=True); older: the experimental
+    module's check_rep=True."""
     try:
         from jax import shard_map as sm
 
         try:
             return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                      check_vma=False)
+                      check_vma=True)
         except TypeError:  # pragma: no cover - future kwarg change
             return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map as sm_exp
 
         return sm_exp(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                      check_rep=False)
+                      check_rep=True)
