@@ -29,15 +29,19 @@ msm_affine_tree: bool | None = None
 pallas_interpret: bool = False
 
 # MSM planner cost model (seconds per unit), measured on v5e via
-# exp/msm_phases.py (round 4; see NOTES.md).  Override for other
-# hardware; the planner only uses RATIOS, so rough values are fine.
+# exp/msm_phases.py + the round-5 c-sweep at 2^18 (NOTES.md).  Override
+# for other hardware; the planner only uses RATIOS, so rough values are
+# fine.
 #   recode:  per window-point (signed digits + sort + tables)
-#   slot:    per padded tree slot (expansion gather + halving levels
-#            + lockstep, amortized)
-#   bucket:  per (window, bucket) in the weighted reduction
+#   slot:    per padded tree slot (unit-DMA expansion + halving levels
+#            + lockstep, amortized; r5 redesign dropped this 115 -> 80)
+#   bucket:  per (window, bucket): weighted reduction + expansion
+#            metadata + lockstep-round sweeps (all B-proportional; the
+#            r4 value 2e-7 underweighted these and picked c=16 at 2^18
+#            where the measured best is c=14: 1.08 s vs 1.23 s)
 msm_cost_recode: float = 36e-9
-msm_cost_slot: float = 115e-9
-msm_cost_bucket: float = 2.0e-7
+msm_cost_slot: float = 80e-9
+msm_cost_bucket: float = 5.0e-7
 
 
 def msm_affine_tree_enabled() -> bool:

@@ -149,7 +149,8 @@ def plan_windows(scalar_bits: int, c0: int, n: int,
     return best[1], best[2]
 
 
-def _tree_plan(n: int, n_buckets: int, num_windows: int):
+def _tree_plan(n: int, n_buckets: int, num_windows: int,
+               budget_slots: int | None = None):
     """(k, m0, group) for the aligned positional-halving bucket phase.
 
     k: halving levels (bucket counts pad to multiples of 2^k).
@@ -159,7 +160,11 @@ def _tree_plan(n: int, n_buckets: int, num_windows: int):
     group: windows per group, from the family-safe set, sized so peak
         live bytes (~1.7 KB/slot at the level-0 -> level-1 transition:
         packed rows + unpacked halves + affine internals + next level)
-        fit in ~13 GB HBM beside the bases.
+        fit in ~13 GB HBM beside the bases.  Streaming callers
+        (msm_chunks) pass a smaller budget_slots when large persistent
+        base/scalar arrays occupy HBM alongside the chunk transients —
+        the measured r5 failure mode at 2^24 was 4.4x/chunk allocation
+        churn from exactly that pressure (BENCH_msm_r05.json).
     """
     from .mont_pallas import pad_bucket
 
@@ -173,7 +178,8 @@ def _tree_plan(n: int, n_buckets: int, num_windows: int):
     # empirically ~2.6 KB live per level-0 slot at peak (XLA keeps the
     # gather output, both unpacked halves, affine internals and the next
     # level alive together); 6M slots measured to fit, 6.3M to OOM.
-    budget_slots = 6 << 20
+    if budget_slots is None:
+        budget_slots = 6 << 20
     allowed = [16, 12, 8, 6, 4, 3, 2, 1]
     if m0 % 3 == 0:  # m0 = 3*2^i: g with a factor 3 would leave the family
         allowed = [16, 8, 4, 2, 1]
@@ -207,12 +213,14 @@ def _row_take(value, idx):
 
 
 def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
-        scalar_bits: int | None = None):
+        scalar_bits: int | None = None, slot_budget: int | None = None):
     """Variable-base MSM:  sum_i scalars[i] * bases[i].
 
     curve: SWCurve kind; bases_aff: affine batch (x, y, inf) of n points;
     scalars: uint32[Ls, n] canonical 16-bit limbs (< 2^scalar_bits;
     default 16*Ls).  Returns a single Jacobian point (batch shape ()).
+    slot_budget caps the bucket phase's live tree slots (streaming
+    callers shrink it to leave HBM for their persistent arrays).
     """
     B = curve.base
     x, y, inf = bases_aff
@@ -285,22 +293,27 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
         # caps live level-0 memory (~1.2 KB/slot across the packed rows,
         # row gathers, and affine-add internals) under the ~14 GB HBM
         # left beside the bases; 2^24 runs at group=1.
-        _, _, group = _tree_plan(n, n_buckets, num_windows)
-        # flat 2-D packed point rows [n + 1, 128] (512 B each): measured
-        # on v5e, row gathers run ~15 ns/row on 128-u32 2-D arrays vs
+        _, _, group = _tree_plan(n, n_buckets, num_windows, slot_budget)
+        # flat 2-D packed point rows [n, 128] (512 B each): measured on
+        # v5e, row gathers run ~15 ns/row on 128-u32 2-D arrays vs
         # ~60 ns on narrower/3-D layouts (exp/gather_bench.py), and the
-        # flat form avoids XLA's [g, m, 1] tile-padding blowups.  Row n
-        # is the infinity sentinel: padded slots gather it instead of
-        # branching.
+        # flat form avoids XLA's [g, m, 1] tile-padding blowups.  Pad
+        # slots need no sentinel row: the first halving level of each
+        # stage masks them to infinity from the run metadata.
         from . import rows_pallas
 
-        L = x.shape[0]
-        base_rows = rows_pallas.pack(B.spec, x, y, inf)
-        sentinel = jnp.zeros((1, rows_pallas.ROW_W), jnp.uint32)
-        sentinel = sentinel.at[0, 2 * L].set(1)
-        xy_rows = jnp.concatenate([base_rows, sentinel], axis=0)
+        xy_rows = rows_pallas.pack(B.spec, x, y, inf)
         bucket_parts = None
+        fence = None
         for g0 in range(0, num_windows, group):
+            xy_rows_g = xy_rows
+            if fence is not None:
+                # serialize the groups: the group loop exists to bound
+                # peak HBM, but without a data dependence XLA schedules
+                # all groups' 3 GB expansion buffers CONCURRENTLY
+                # (measured 16.7 GB at 2^20 -> OOM)
+                xy_rows_g, _ = jax.lax.optimization_barrier(
+                    (xy_rows, fence))
             order_g, isneg_g, skey_g, start_g, counts_g = recode_group(
                 g0, min(g0 + group, num_windows))
             # fold the digit sign into the permutation's top bit: one
@@ -309,8 +322,9 @@ def msm(curve, bases_aff, scalars: jnp.ndarray, c: int | None = None,
                                        axis=1)
             order_signed = order_g | (negs.astype(jnp.uint32) << 31)
             part = _affine_tree_buckets(
-                curve, xy_rows, order_signed, skey_g, start_g, counts_g,
+                curve, xy_rows_g, order_signed, skey_g, start_g, counts_g,
                 n, n_buckets)
+            fence = jax.tree_util.tree_leaves(part)[0]
             if bucket_parts is None:
                 bucket_parts = [[coord] for coord in part]
             else:
@@ -487,26 +501,101 @@ def _batched_inv_fn(base):
     return invert
 
 
+def _rows_level_fn(curve):
+    """Packed-row halving-level add (sw_pallas.affine_add_rows) when the
+    fused kernels apply (prime base, Pallas on); None -> the composed
+    unpack/affine_add/pack fallback."""
+    from ..fields.prime import PrimeField
+    from .. import config
+
+    B = curve.base
+    if not isinstance(B, PrimeField):
+        return None
+    if not (config.pallas_enabled() or config.pallas_interpret):
+        return None
+    from ..bigint import int_to_limbs
+    from . import sw_pallas
+
+    a_mont = None
+    if not curve.a_is_zero:
+        spec = B.spec
+        a_mont = tuple(int(v) for v in int_to_limbs(
+            (int(curve.a_host) * spec.R) % spec.modulus, spec.n_limbs))
+    return lambda V, valid, inv_fn: sw_pallas.affine_add_rows(
+        B.spec, a_mont, V, valid, inv_fn)
+
+
+# measured v5e unit costs for the stage-vs-lockstep tradeoff (NOTES r5):
+# an affine-tree slot (expansion DMA + one level's share of adds) ~40 ns;
+# a lockstep Jacobian round ~110 ns per (window, bucket) lane
+# (14.5 ms at [4, 32768], exp/msm_finish_probe.py) + ~2 ms fixed.
+_STAGE_SLOT_NS = 40e-9
+_ROUND_LANE_NS = 1.1e-7
+_STAGE_FIXED_S = 2e-3
+_ROUND_FIXED_S = 2e-3
+
+
+def _extra_stages(n: int, n_buckets: int, k1: int) -> list[int]:
+    """Schedule of additional 1-level halving stages after the first
+    k1-level stage: keep halving (with re-expansion between stages)
+    while the affine re-halving is CHEAPER than the lockstep rounds it
+    replaces (each k=1 stage halves the statistical max occupancy, so
+    it saves ~cmax/2 rounds that sweep every bucket lane).  The
+    schedule is static (shapes must be); adversarial digit
+    distributions just fall through to more lockstep rounds —
+    correctness never depends on it."""
+    occ = n / max(n_buckets, 1)
+    # the capped lockstep runs to the ~94th percentile count (the K-th
+    # largest with K = WB/16; the compacted drain absorbs the tail), so
+    # score stages against the PERCENTILE, not the max
+    cpct = int(occ + 1.6 * math.sqrt(occ) + 2)
+    cpct = -(-cpct // (1 << k1))
+    n_cur = (n + ((1 << k1) - 1) * n_buckets) // (1 << k1)
+    ks = []
+    while cpct > 2 and len(ks) < 4:
+        m_s = n_cur + n_buckets  # U=2 padded slot count (per window)
+        stage_cost = m_s * _STAGE_SLOT_NS + _STAGE_FIXED_S
+        rounds_saved = cpct - (cpct + 1) // 2
+        saved = rounds_saved * (n_buckets * _ROUND_LANE_NS + _ROUND_FIXED_S)
+        if saved <= stage_cost:
+            break
+        ks.append(1)
+        cpct = (cpct + 1) // 2
+        n_cur = m_s // 2
+    return ks
+
+
 def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
                          counts, n: int, n_buckets: int):
-    """Bucket sums for one window group via ALIGNED positional halving.
+    """Bucket sums for one window group via MULTI-STAGE aligned
+    positional halving over sorted packed point rows.
 
     After the per-window sort each bucket's points form one contiguous
-    run.  Bucket counts are padded up to a multiple of 2^k, so for k
-    levels every pair (2i, 2i+1) is guaranteed same-run: the halving
-    levels are pure strided SLICES + one fused batched affine add each —
-    zero gathers, zero scatters, zero metadata.  Padded slots read the
-    infinity sentinel row and the affine kernel's own infinity handling
-    absorbs them (inf + inf = inf, P + inf = P).  The single expansion
-    gather (sorted order -> padded slot layout) happens once, against
-    flat 2-D 512-byte packed rows (~15 ns/row measured on v5e), and the
-    surviving short runs finish with capped lockstep mixed-add rounds +
-    a compacted drain.
+    run, so the whole phase works on contiguous-run layouts:
 
-    This replaced a per-level gather/scatter compaction scheme whose
-    profile was ~70% dynamic-gather issue cost (xprof, NOTES.md r4):
-    per level it paid ~6 per-slot index ops; this design pays ~4 index
-    ops ONCE at level 0 and none after.
+      stage A   rows_sorted = xy_rows[order] with the digit signs folded
+                into y (one random row gather + one elementwise pass) —
+                after this, every later data movement is run-structured.
+      stage s   counts pad to multiples of U = 2^ks and runs EXPAND into
+                the padded slot layout with rows_pallas.expand_units:
+                one U-row DMA per unit (11.8 ns/row measured vs 30.3 for
+                the composed jnp expansion, exp/gather_pallas.py), pad
+                slots masked to infinity inside the first level's fused
+                kernels (no sentinel rows, no extra HBM pass).  Then ks
+                gather-free halving levels: pure strided slices + one
+                fused batched affine add each.
+      finish    the few remaining over-occupancy slots drain with capped
+                lockstep Jacobian mixed-add rounds + a compacted tail —
+                usually <= 2 rounds thanks to the extra stages
+                (_extra_stages), whose affine re-halving costs ~13 field
+                muls per surviving slot vs ~19 muls per LANE-round in
+                lockstep (the round sweeps every bucket, occupied or
+                not; measured 14.5 ms/round at [4, 32768] on v5e,
+                exp/msm_finish_probe.py).
+
+    This replaced (r4->r5) a single-stage tree whose lockstep finish was
+    ~40% of the bucket phase, and (r3->r4) a per-level gather/scatter
+    compaction whose profile was ~70% dynamic-gather issue cost.
 
     The reference's analogue is the rayon per-window scatter loop
     (ec/src/scalar_mul/variable_base/mod.rs:110-130); the affine add is
@@ -518,61 +607,80 @@ def _affine_tree_buckets(curve, xy_rows, order_signed, sorted_key, start,
     g = order_signed.shape[0]
     L = spec.n_limbs
     inv_fn = _batched_inv_fn(B)
+    from .mont_pallas import pad_bucket
     from . import rows_pallas
 
-    # ---- plan: k halving levels; pad counts to multiples of 2^k
     k, m0, _ = _tree_plan(n, n_buckets, 1)
-    pad_unit = 1 << k
+    stages = ([k] if k > 0 else []) + _extra_stages(n, n_buckets, k)
+    rows_level = _rows_level_fn(curve)
 
-    counts_i = counts.astype(jnp.int32)  # [g, B]
-    start_i = start.astype(jnp.int32)
-    counts_p = ((counts_i + (pad_unit - 1)) >> k) << k
-    start_p = jnp.cumsum(counts_p, axis=1) - counts_p  # exclusive
-
-    # ---- expand: run id per padded slot (scatter-max + cummax fill)
+    # ---- stage A: rows in sorted order, signs folded into y
+    idx = (order_signed & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    negs = (order_signed >> 31) != 0
+    src = rows_pallas.negate_y(
+        spec, xy_rows[idx.reshape(-1)], negs.reshape(-1))  # [g*n, 128]
+    n_cur = n
+    counts_c = counts.astype(jnp.int32)  # [g, B]
+    start_c = start.astype(jnp.int32)
     w_rows = jnp.arange(g, dtype=jnp.int32)[:, None]
-    seed = jnp.zeros((g, m0), jnp.int32)
     bucket_ids = jnp.broadcast_to(
         jnp.arange(n_buckets, dtype=jnp.int32)[None, :], (g, n_buckets))
-    seed = seed.at[w_rows, start_p].max(bucket_ids, mode="drop")
-    run_slot = jax.lax.cummax(seed, axis=1)  # [g, m0]
 
-    # per-slot source position via two table lookups:
-    #   rank = j - start_p[run];  src = start[run] + rank = j + delta[run]
-    delta = start_i - start_p
-    bound = start_p + counts_i  # slots with j >= bound are padding
-    d = jnp.take_along_axis(delta, run_slot, axis=1)
-    bd = jnp.take_along_axis(bound, run_slot, axis=1)
-    j = jnp.arange(m0, dtype=jnp.int32)[None, :]
-    src_pos = jnp.minimum(j + d, n - 1)
-    valid = j < bd
+    for ks in stages:
+        U = 1 << ks
+        counts_p = ((counts_c + U - 1) >> ks) << ks
+        start_p = jnp.cumsum(counts_p, axis=1) - counts_p  # exclusive
+        m_s = pad_bucket(n_cur + (U - 1) * n_buckets, max(64 << ks, 128))
+        mu = m_s // U
 
-    goff_n = (jnp.arange(g, dtype=jnp.int32) * n)[:, None]
-    order_flat = order_signed.reshape(-1)
-    pt = order_flat[(goff_n + src_pos).reshape(-1)]  # [g*m0] signed ids
-    idx = jnp.where(valid.reshape(-1), (pt & jnp.uint32(0x7FFFFFFF)),
-                    jnp.uint32(n)).astype(jnp.int32)
-    V = xy_rows[idx]  # [g*m0, 128] flat row gather
-    neg = jnp.logical_and(valid.reshape(-1), (pt >> 31) != 0)
-    if k == 0:  # tiny problems: no halving level to absorb the signs
-        V = rows_pallas.negate_y(spec, V, neg)
+        # run id per UNIT (scatter-max at unit starts + cummax fill;
+        # zero-count runs occupy no units, so the max picks the real
+        # occupant of a shared start position)
+        seed = jnp.zeros((g, mu), jnp.int32)
+        seed = seed.at[w_rows, start_p >> ks].max(bucket_ids, mode="drop")
+        run_u = jax.lax.cummax(seed, axis=1)  # [g, mu]
 
-    # ---- k gather-free halving levels: pure slices + fused affine add.
-    # The digit signs ride into the FIRST level's fused kernels as neg
-    # masks (negating inside a separate pass would double the live V).
-    mk = m0
-    ck = counts_p
-    for lvl in range(k):
-        Pl = rows_pallas.unpack(spec, V[0::2])
-        Pr = rows_pallas.unpack(spec, V[1::2])
-        negs = (neg[0::2], neg[1::2]) if lvl == 0 else (None, None)
-        P3 = curve.affine_add(Pl, Pr, inv_fn, neg1=negs[0], neg2=negs[1])
-        V = rows_pallas.pack(spec, *P3)
-        mk //= 2
-        ck = ck >> 1
+        su = jnp.take_along_axis(start_p, run_u, axis=1)
+        sc = jnp.take_along_axis(start_c, run_u, axis=1)
+        cc = jnp.take_along_axis(counts_c, run_u, axis=1)
+        ju = jnp.arange(mu, dtype=jnp.int32)[None, :]
+        us = sc + (ju * U - su)  # src slot within the window
+        goff_src = (jnp.arange(g, dtype=jnp.int32) * n_cur)[:, None]
+        us_flat = jnp.clip((us + goff_src).reshape(-1), 0, g * n_cur - U)
+        V = rows_pallas.expand_units(src, us_flat.astype(jnp.int32), U)
+
+        # slot validity (pad slots + fully-pad units read garbage rows;
+        # the first level masks them to infinity) — broadcast per unit,
+        # no per-slot gathers
+        bnd = su + cc  # [g, mu] first invalid slot of each unit's run
+        slot_j = jnp.arange(m_s, dtype=jnp.int32).reshape(1, mu, U)
+        valid = (slot_j < bnd[:, :, None]).reshape(-1)  # [g*m_s]
+
+        for lvl in range(ks):
+            vmask = valid if lvl == 0 else None
+            if rows_level is not None:
+                V = rows_level(V, vmask, inv_fn)
+                continue
+            Pl = rows_pallas.unpack(spec, V[0::2])
+            Pr = rows_pallas.unpack(spec, V[1::2])
+            if vmask is not None:
+                Pl = (Pl[0], Pl[1],
+                      jnp.logical_or(Pl[2], jnp.logical_not(vmask[0::2])))
+                Pr = (Pr[0], Pr[1],
+                      jnp.logical_or(Pr[2], jnp.logical_not(vmask[1::2])))
+            P3 = curve.affine_add(Pl, Pr, inv_fn)
+            V = rows_pallas.pack(spec, *P3)
+
+        src = V
+        n_cur = m_s >> ks
+        counts_c = counts_p >> ks
+        start_c = start_p >> ks
 
     # ---- finish: capped lockstep mixed-add rounds + compacted drain
-    start_k = jnp.cumsum(ck, axis=1) - ck  # [g, B] exclusive
+    mk = n_cur
+    ck = counts_c
+    V = src
+    start_k = start_c
     goff_mk = (jnp.arange(g, dtype=jnp.int32) * mk)[:, None]
 
     def fetch_slots(pos, validr):
@@ -816,8 +924,9 @@ def _tree_sum(curve, P, axis: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _chunk_jit(curve, c):
-    return jax.jit(lambda b, s: msm(curve, b, s, c=c))
+def _chunk_jit(curve, c, slot_budget=None):
+    return jax.jit(lambda b, s: msm(curve, b, s, c=c,
+                                    slot_budget=slot_budget))
 
 
 @functools.lru_cache(maxsize=None)
@@ -852,7 +961,14 @@ def msm_chunks(curve, bases_aff, scalars: jnp.ndarray, chunk: int = 1 << 20,
         c, _ = plan_windows(scalar_bits, default_window_size(nc), nc)
     total = None
     x, y, inf = bases_aff
-    run = _chunk_jit(curve, c)
+    # shrink the per-chunk slot budget so chunk transients + the
+    # persistent base/scalar arrays fit HBM together: without this the
+    # 2^24 stream ran 4.4x slower PER CHUNK than a standalone 2^20 from
+    # allocation churn (BENCH_msm_r05.json)
+    L = jax.tree_util.tree_leaves(x)[0].shape[0]
+    persistent = n * (2 * 2 * L * 4 + scalars.shape[0] * 4 + 1)
+    budget = int(max(1 << 19, (13.0e9 - persistent) / 2600))
+    run = _chunk_jit(curve, c, budget)
     addj = _add_jit(curve)
     eager = not isinstance(scalars, jax.core.Tracer)
     for off in range(0, n, chunk):

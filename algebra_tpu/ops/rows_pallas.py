@@ -159,6 +159,90 @@ def _neg_call(spec: FieldSpec, n: int, block: int, interpret: bool = False):
     )
 
 
+_EXP_UBLK = 1024  # units per grid step (1-D SMEM operands tile T(1024))
+_EXP_NSEM = 16    # outstanding DMAs
+
+
+def _expand_kernel(U: int, us_ref, src_ref, out_ref, sem):
+    """out rows [j*U, (j+1)*U) <- src rows [us[j], us[j]+U) per unit j.
+
+    us arrives in SMEM per block; src stays in HBM (ANY) and each unit
+    is ONE U-row (U*512 B) DMA — _EXP_NSEM copies ride ahead of the
+    wait, so issue overlaps transfer.  Measured 11.8 ns/row at U=8 vs
+    30.3 ns/row for the composed jnp expansion and 15.6 ns/row for a
+    plain row gather (exp/gather_pallas.py, v5e)."""
+    def get_dma(j):
+        return _pltpu().make_async_copy(
+            src_ref.at[_pl().ds(us_ref[j], U)],
+            out_ref.at[_pl().ds(j * U, U)],
+            sem.at[j % _EXP_NSEM],
+        )
+
+    for j in range(_EXP_NSEM):
+        get_dma(j).start()
+
+    def body(j, _):
+        @_pl().when(j + _EXP_NSEM < _EXP_UBLK)
+        def _():
+            get_dma(j + _EXP_NSEM).start()
+
+        get_dma(j).wait()
+        return 0
+
+    jax.lax.fori_loop(0, _EXP_UBLK, body, 0)
+
+
+def _pl():
+    from jax.experimental import pallas as pl
+
+    return pl
+
+
+def _pltpu():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu
+
+
+@functools.lru_cache(maxsize=None)
+def _expand_call(mu: int, U: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        functools.partial(_expand_kernel, U),
+        out_shape=jax.ShapeDtypeStruct((mu * U, ROW_W), jnp.uint32),
+        grid=(mu // _EXP_UBLK,),
+        in_specs=[
+            pl.BlockSpec((_EXP_UBLK,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((_EXP_UBLK * U, ROW_W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_EXP_NSEM,))],
+    interpret=interpret,
+    )
+
+
+def expand_units(src, us, U: int):
+    """Run-batched row expansion: out[j*U + t] = src[us[j] + t].
+
+    src: packed rows [S, 128]; us: int32[mu] unit source starts (caller
+    clamps to S - U).  The MSM bucket phase uses this to expand sorted
+    bucket runs into 2^k-padded slot layouts — contiguity inside runs
+    makes every unit one contiguous U-row copy."""
+    mu = us.shape[0]
+    if not _use_pallas():
+        idx = (us[:, None] + jnp.arange(U, dtype=us.dtype)[None, :])
+        return src[idx.reshape(-1)]
+    mu_p = -(-mu // _EXP_UBLK) * _EXP_UBLK
+    if mu_p != mu:
+        us = jnp.pad(us, (0, mu_p - mu))
+    out = _expand_call(mu_p, U, _interp())(us, src)
+    return out[: mu * U]
+
+
 def negate_y(spec: FieldSpec, rows, neg, block: int = 1024):
     """rows [n, 128] with y := -y where neg (bool [n])."""
     n = rows.shape[0]

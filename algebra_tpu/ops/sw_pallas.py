@@ -340,6 +340,166 @@ def affine_add(spec: FieldSpec, a_mont, P, Q, inv_fn, neg1=None, neg2=None,
     )
 
 
+# ---------------------------------------------------------------------------
+# packed-row affine level: V [2m, 128] interleaved pairs -> V' [m, 128]
+#
+# The MSM halving levels previously ran unpack x2 -> affine_add -> pack
+# (three extra full transpose passes over the level data, ~5.6 ns per
+# input row measured on v5e).  These kernels read the even/odd packed
+# rows directly, transpose in-register, and the completion kernel
+# writes PACKED result rows — the level becomes exactly two Pallas
+# passes + the batched inversion.
+# ---------------------------------------------------------------------------
+
+
+def _row_coords(spec, t):
+    """[blk, 128] packed rows -> (x [L, blk], y, inf [blk] bool)."""
+    L = spec.n_limbs
+    tt = t.T
+    return tt[:L], tt[L : 2 * L], tt[2 * L] != 0
+
+
+def _row_pairs(v_ref):
+    """[2blk, 128] interleaved pair rows -> (even [blk, 128], odd).
+
+    The split happens IN-KERNEL via a sublane reshape: materializing
+    V[0::2]/V[1::2] in XLA produced 1.5 GB gather copies whose lifetimes
+    the scheduler overlapped across levels (16.7 GB OOM at 2^20)."""
+    t = v_ref[...]
+    tt = t.reshape(-1, 2, 128)
+    return tt[:, 0, :], tt[:, 1, :]
+
+
+def _affr_denom_kernel(spec: FieldSpec, has_valid, v_ref, *rest):
+    if has_valid:
+        v1r, v2r, dref = rest
+    else:
+        (dref,) = rest
+        v1r = v2r = None
+    e, o = _row_pairs(v_ref)
+    x1, y1, i1 = _row_coords(spec, e)
+    x2, y2, i2 = _row_coords(spec, o)
+    if has_valid:
+        i1 = jnp.logical_or(i1, v1r[...][0] == 0)
+        i2 = jnp.logical_or(i2, v2r[...][0] == 0)
+    d, dbl, opp, degen = _aff_cases(spec, x1, y1, i1, x2, y2, i2)
+    denom = _sel(dbl, _lm_add(spec, y1, y1), d)
+    one = _lm_const(spec.one_mont_limbs, x1.shape[1])
+    dref[...] = _sel(degen, one, denom)
+
+
+def _affr_post_kernel(spec: FieldSpec, a_mont, has_valid, v_ref, *rest):
+    if has_valid:
+        v1r, v2r, invr, vout = rest
+    else:
+        invr, vout = rest
+        v1r = v2r = None
+    L = spec.n_limbs
+    e, o = _row_pairs(v_ref)
+    x1, y1, i1 = _row_coords(spec, e)
+    x2, y2, i2 = _row_coords(spec, o)
+    if has_valid:
+        i1 = jnp.logical_or(i1, v1r[...][0] == 0)
+        i2 = jnp.logical_or(i2, v2r[...][0] == 0)
+    inv = invr[...]
+    d, dbl, opp, degen = _aff_cases(spec, x1, y1, i1, x2, y2, i2)
+    x1sq = _lm_sq(spec, x1)
+    three = _lm_add(spec, _lm_add(spec, x1sq, x1sq), x1sq)
+    if a_mont is not None:
+        three = _lm_add(spec, three, _lm_const(a_mont, x1.shape[1]))
+    num = _sel(dbl, three, _lm_sub(spec, y2, y1))
+    lam = _lm_mul(spec, num, inv)
+    x3 = _lm_sub(spec, _lm_sub(spec, _lm_sq(spec, lam), x1), x2)
+    y3 = _lm_sub(spec, _lm_mul(spec, lam, _lm_sub(spec, x1, x3)), y1)
+    x3 = _sel(i1, x2, _sel(i2, x1, x3))
+    y3 = _sel(i1, y2, _sel(i2, y1, y3))
+    inf3 = jnp.logical_or(
+        jnp.logical_and(i1, i2),
+        jnp.logical_and(jnp.logical_not(i1),
+                        jnp.logical_and(jnp.logical_not(i2), opp)),
+    )
+    blk = x3.shape[1]
+    pad = 128 - (2 * L + 1)
+    cols = jnp.concatenate(
+        [x3, y3, inf3.astype(jnp.uint32)[None, :],
+         jnp.zeros((pad, blk), jnp.uint32)], axis=0)
+    vout[...] = cols.T
+
+
+@functools.lru_cache(maxsize=None)
+def _affr_denom_call(spec: FieldSpec, n: int, block: int, has_valid: bool,
+                     interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    grid = (n // block,)
+    r2spec = pl.BlockSpec((2 * block, 128), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ins = [r2spec] + ([mspec, mspec] if has_valid else [])
+    return pl.pallas_call(
+        functools.partial(_affr_denom_kernel, spec, has_valid),
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=grid,
+        in_specs=ins,
+        out_specs=dspec,
+        interpret=interpret,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _affr_post_call(spec: FieldSpec, a_mont, n: int, block: int,
+                    has_valid: bool, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    grid = (n // block,)
+    rspec = pl.BlockSpec((block, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    r2spec = pl.BlockSpec((2 * block, 128), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((L, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ins = [r2spec] + ([mspec, mspec] if has_valid else []) + [dspec]
+    return pl.pallas_call(
+        functools.partial(_affr_post_kernel, spec, a_mont, has_valid),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.uint32),
+        grid=grid,
+        in_specs=ins,
+        out_specs=rspec,
+        interpret=interpret,
+    )
+
+
+def affine_add_rows(spec: FieldSpec, a_mont, V, valid, inv_fn,
+                    block: int = AFFINE_BLOCK):
+    """One halving level on packed rows: V [2m, 128] (pairs interleaved
+    even/odd) -> result rows [m, 128].  ``valid``: optional bool [2m] —
+    invalid slots are treated as infinity (the expansion's pad slots).
+    Bit-identical to unpack -> affine_add -> pack."""
+    from .mont_pallas import pad_bucket
+
+    m = V.shape[0] // 2
+    has_valid = valid is not None
+    extra = []
+    if has_valid:
+        extra = [valid[0::2].astype(jnp.uint32)[None],
+                 valid[1::2].astype(jnp.uint32)[None]]
+    padded = pad_bucket(m, block)
+    if padded != m:
+        V = jnp.pad(V, ((0, 2 * (padded - m)), (0, 0)))
+        extra = [jnp.pad(v, ((0, 0), (0, padded - m))) for v in extra]
+    denom = _affr_denom_call(spec, padded, block, has_valid, _interp())(
+        V, *extra)
+    inv = inv_fn(denom)
+    out = _affr_post_call(spec, a_mont, padded, block, has_valid,
+                          _interp())(V, *extra, inv)
+    return out[:m]
+
+
 DEFAULT_BLOCK = 128  # ~25 live [L, N] temporaries must fit 16MB VMEM
 
 

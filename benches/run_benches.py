@@ -130,7 +130,7 @@ def bench_msm(log_sizes=(16, 18, 20, 22, 24), curve_name="g1"):
     curve = getattr(bls12_381, curve_name)()
     rng = np.random.default_rng(9)
     max_n = 1 << max(log_sizes)
-    # bases: 256 host-generated random subgroup points tiled to max_n.
+    # bases: 256 host-generated random subgroup points tiled per size.
     # MSM cost depends on the scalar digit distribution, not base values,
     # so tiling keeps setup cheap without distorting the measurement.
     import random as _random
@@ -138,24 +138,26 @@ def bench_msm(log_sizes=(16, 18, 20, 22, 24), curve_name="g1"):
     hrng = _random.Random(1234)
     host_pts = curve.random_host(hrng, 256)
     aff256 = curve.from_host(host_pts)
-    reps = max_n // 256
-    # limb-major coords: tile the batch axis (leaf axis 1)
-    aff = (
-        jax.tree_util.tree_map(lambda a: jnp.tile(a, (1, reps)), aff256[0]),
-        jax.tree_util.tree_map(lambda a: jnp.tile(a, (1, reps)), aff256[1]),
-        jnp.tile(aff256[2], (reps,)),
-    )
 
     r_mod = bls12_381.R
-    scalars = jnp.asarray(batch_int_to_limbs(
+    # scalars stay on HOST; each size slices and uploads its own view so
+    # the 2^24 arrays (8+ GB) are not resident while timing 2^18
+    # (measured OOM: small-size transients + max-size persistents)
+    host_scalars = np.asarray(batch_int_to_limbs(
         [int.from_bytes(rng.bytes(40), "little") % r_mod for _ in range(max_n)],
         bls12_381.fr_spec.n_limbs))
 
     for log_n in log_sizes:
         n = 1 << log_n
-        bases_n = (curve.base.index(aff[0], slice(0, n)),
-                   curve.base.index(aff[1], slice(0, n)), aff[2][:n])
-        sc_n = scalars[:, :n]
+        reps = n // 256
+        bases_n = (
+            jax.tree_util.tree_map(lambda a: jnp.tile(a, (1, reps)),
+                                   aff256[0]),
+            jax.tree_util.tree_map(lambda a: jnp.tile(a, (1, reps)),
+                                   aff256[1]),
+            jnp.tile(aff256[2], (reps,)),
+        )
+        sc_n = jnp.asarray(host_scalars[:, :n])
         if log_n >= 22:
             # streaming chunks (the reference's msm_chunks mode,
             # variable_base/mod.rs:54-85): single-shot level-0 buffers
@@ -174,8 +176,11 @@ def bench_msm(log_sizes=(16, 18, 20, 22, 24), curve_name="g1"):
         try:
             dt = _time(run)
         except Exception as e:
-            print(f"# msm 2^{log_n} failed: {type(e).__name__}", file=sys.stderr)
+            print(f"# msm 2^{log_n} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
             continue
+        finally:
+            del bases_n, sc_n  # free before the next size uploads
         report(f"bls12_381_{curve_name}_msm_2e{log_n}_s", dt, "s")
 
 

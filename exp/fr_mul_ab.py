@@ -264,8 +264,81 @@ def main(variants):
 
         return _bench(chain, a, b, reps)
 
+    # -- variant: ONE window rebuild per round -----------------------------
+    # The shipped sliding window rebuilds the [L+1, nb] accumulator 3x
+    # per round (add-lo, shift, add-hi).  Algebraically the three
+    # updates compose into a single row-wise expression, so each round
+    # can materialize the window ONCE:
+    #   new[0]     = t[1] + lomp[1] + carry(t[0]+lomp[0]) + himp[0]
+    #   new[r]     = t[r+1] + lomp[r+1] + himp[r]       (1 <= r <= L-2)
+    #   new[L-1]   = t[L] + himp[L-1]
+    #   new[L]     = 0
+    # with lomp = lo + (m*p & M16), himp = hi + (m*p >> 16).
+    def _onecat_mul(a_, b_):
+        nb = a_.shape[1]
+        inv = int(spec.inv16)
+        p_full = mp._p_full(spec, nb)
+        zero1 = jnp.zeros((1, nb), jnp.uint32)
+        t = jnp.zeros((L + 1, nb), jnp.uint32)
+        M16 = jnp.uint32(0xFFFF)
+        for i in range(L):
+            prod = a_[i][None, :] * b_
+            lo = prod & M16
+            hi = prod >> 16
+            m = (((t[0] + lo[0]) & M16) * inv) & M16
+            mpd = m[None, :] * p_full
+            lomp = lo + (mpd & M16)
+            himp = hi + (mpd >> 16)
+            t0c = (t[0] + lomp[0]) >> 16
+            head = (t[1] + lomp[1] + t0c + himp[0])[None]
+            mid = t[2:L] + lomp[2:] + himp[1 : L - 1]
+            tail = (t[L] + himp[L - 1])[None]
+            t = jnp.concatenate([head, mid, tail, zero1], axis=0)
+        return mp._lm_propagate(spec, t, nb)
+
+    def _onecat_kernel(a_ref, b_ref, o_ref):
+        o_ref[...] = _onecat_mul(a_ref[...], b_ref[...])
+
+    @functools.lru_cache(maxsize=None)
+    def _onecat_call(block):
+        grid = (n // block,)
+        bspec = pl.BlockSpec((L, block), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _onecat_kernel,
+            out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+            grid=grid,
+            in_specs=[bspec, bspec],
+            out_specs=bspec,
+        )
+
+    def run_onecat(block):
+        def chain(x, y):
+            for _ in range(reps):
+                x = _onecat_call(block)(x, y)
+            return x
+
+        return _bench(chain, a, b, reps)
+
+    def check3():
+        from algebra_tpu import config
+        from algebra_tpu.ops import mont
+
+        config.use_pallas = False
+        s = 4096
+        want = np.asarray(mont.mul(spec, a[:, :s], b[:, :s]))
+        config.use_pallas = None
+        got = np.asarray(_onecat_call(1024)(
+            jnp.pad(a[:, :s], ((0, 0), (0, n - s))),
+            jnp.pad(b[:, :s], ((0, 0), (0, n - s))))[:, :s])
+        assert (want == got).all(), "onecat kernel mismatch"
+        print("# onecat correctness ok", file=sys.stderr)
+
     table = {
         "check": check,
+        "check3": check3,
+        "onecat_1024": lambda: report("onecat_1024", run_onecat(1024)),
+        "onecat_2048": lambda: report("onecat_2048", run_onecat(2048)),
         "check2": check2,
         "via_mont": lambda: report("via_mont", run_via_mont()),
         "cios_512": lambda: report("cios_512", run_cios(512)),

@@ -220,3 +220,68 @@ def test_row_pack_unpack_interpret(spec, interpret):
     finally:
         config.pallas_interpret = True
     assert (np.asarray(got) == np.asarray(ref)).all()
+
+
+def test_affine_add_rows_interpret(interpret):
+    """Packed-row halving-level kernels (_affr_denom/_affr_post) and the
+    unit-DMA expansion kernel vs their composed/jnp oracles."""
+    import random as _random
+
+    import jax.numpy as jnp
+
+    from algebra_tpu.curves.instances import bls12_381
+    from algebra_tpu.ops import msm as msm_mod, rows_pallas, sw_pallas
+
+    curve = bls12_381.g1()
+    spec = curve.base.spec
+    rng = _random.Random(3)
+    n = 256
+    pts = curve.random_host(rng, 64)
+    lst = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.1:
+            lst.append(None)          # infinity lanes
+        elif r < 0.25:
+            lst.append(pts[3])        # duplicates -> tangent adds
+        else:
+            lst.append(pts[rng.randrange(64)])
+    aff = curve.from_host(lst)
+    V = rows_pallas.pack(spec, aff[0], aff[1], aff[2])
+    valid = jnp.asarray(np.asarray(
+        [rng.random() > 0.2 for _ in range(n)]))
+    inv_fn = msm_mod._batched_inv_fn(curve.base)
+
+    out_rows = sw_pallas.affine_add_rows(spec, None, V, valid, inv_fn)
+    gx, gy, gi = rows_pallas.unpack(spec, out_rows)
+
+    Pl = rows_pallas.unpack(spec, V[0::2])
+    Pr = rows_pallas.unpack(spec, V[1::2])
+    Pl = (Pl[0], Pl[1], jnp.logical_or(Pl[2], jnp.logical_not(valid[0::2])))
+    Pr = (Pr[0], Pr[1], jnp.logical_or(Pr[2], jnp.logical_not(valid[1::2])))
+    wx, wy, wi = curve.affine_add(Pl, Pr, inv_fn)
+    assert np.array_equal(np.asarray(gx), np.asarray(wx))
+    assert np.array_equal(np.asarray(gy), np.asarray(wy))
+    assert np.array_equal(np.asarray(gi), np.asarray(wi))
+
+    # no-valid variant (later levels)
+    out2 = sw_pallas.affine_add_rows(spec, None, V, None, inv_fn)
+    Pl2 = rows_pallas.unpack(spec, V[0::2])
+    Pr2 = rows_pallas.unpack(spec, V[1::2])
+    w2 = curve.affine_add(Pl2, Pr2, inv_fn)
+    g2 = rows_pallas.unpack(spec, out2)
+    for got, want in zip(g2, w2):
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_expand_units_interpret(interpret):
+    """rows_pallas.expand_units DMA kernel vs the jnp composed gather."""
+    from algebra_tpu.ops import rows_pallas
+
+    rng = np.random.default_rng(11)
+    src = jnp.asarray(rng.integers(0, 2**32, (3000, 128), dtype=np.uint32))
+    U = 8
+    us = jnp.asarray(rng.integers(0, 3000 - U, (1500,), dtype=np.int32))
+    got = rows_pallas.expand_units(src, us, U)
+    idx = (np.asarray(us)[:, None] + np.arange(U)[None, :]).reshape(-1)
+    assert np.array_equal(np.asarray(got), np.asarray(src)[idx])
