@@ -87,7 +87,10 @@ def bench_field(n=1 << 20, reps=8):
             state["x"] = chain(state["x"], b)
             return state["x"]
 
-        dt = _time(run)
+        # 24 iters: each dispatch pays a ~5-8 ms tunnel fence; at 3 iters
+        # that overhead inflated the 11 ms compute by ~70% (bench.py, the
+        # official headline, amortizes over 32 dispatches the same way)
+        dt = _time(run, iters=24)
         report(f"bls12_381_{name}_mont_mults_per_s", n * reps / dt, "mults/s",
                1e8 if name == "fr" else None)
 
@@ -222,7 +225,18 @@ def bench_field_ops(n=1 << 20):
     report("bls12_381_fr_sub_per_s", chain(lambda x, y: mont.sub(spec, x, y), 16), "ops/s")
     report("bls12_381_fr_square_per_s", chain(lambda x, y: mont.square(spec, x), 8), "ops/s")
 
-    inv = jax.jit(lambda x: mont.batch_inverse(spec, x, axis=0))
+    # Production dispatch (ops/msm._batched_inv_fn): TPU routes batched
+    # inversion to the ONE blocked Pallas kernel.  The associative-scan
+    # form traces ~80 distinct-shape Pallas muls at 2^20 — ~0.5-1 min
+    # EACH through a cold axon remote compiler (measured: >35 min, killed).
+    from algebra_tpu import config as _cfg
+
+    if _cfg.pallas_enabled():
+        from algebra_tpu.ops import mont_pallas
+
+        inv = jax.jit(lambda x: mont_pallas.batch_inverse(spec, x))
+    else:
+        inv = jax.jit(lambda x: mont.batch_inverse(spec, x, axis=0))
     dt = _time(lambda: inv(a))
     report("bls12_381_fr_batch_inverse_per_s", n / dt, "ops/s")
 

@@ -46,7 +46,7 @@ ICI_BYTES_PER_S = 45e9
 # efficiency column vacuous (VERDICT r4 weak #5); the projection now
 # interpolates THESE measured numbers log-linearly in problem size.
 V5E_MEASURED_S = {
-    "msm": {16: 0.2868, 18: 1.1145, 20: 3.4511},
+    "msm": {16: 0.2489, 18: 1.0826, 20: 2.5189, 22: 10.571, 24: 39.562},
     "ntt": {16: 0.0129, 20: 0.058, 22: 0.344, 24: 1.43},
 }
 
@@ -90,6 +90,8 @@ def main():
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--per-device-msm", type=int, default=1 << 12)
     ap.add_argument("--per-device-ntt", type=int, default=1 << 13)
+    ap.add_argument("--devices", type=int, default=None,
+                    help="run only this device count (default: 1,2,4,8 sweep)")
     args = ap.parse_args()
 
     import random
@@ -109,6 +111,8 @@ def main():
     L = curve.base.spec.n_limbs
     ndev = len(jax.devices())
     counts = [d for d in (1, 2, 4, 8) if d <= ndev]
+    if args.devices is not None:
+        counts = [args.devices]
     rows = []
 
     rng = random.Random(5150)

@@ -11,6 +11,7 @@ and NTT sizes are the smallest that still exercise every collective
 four-step NTT).
 """
 
+import os
 import random
 
 import jax
@@ -179,6 +180,65 @@ def test_sharded_ntt_2e14(ntt_inputs):
 
     roots = ntt.powers_from_int(fr, omega, SIZE_FULL // 2)
     bitrev = jnp.asarray(ntt.bit_reverse_indices(SIZE_FULL))
+    local = jax.jit(lambda c: ntt.fft(fr, c, roots, bitrev))(coeffs)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out8)), np.asarray(jax.device_get(local))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BASELINE-configs[4]-class shapes across a real shard_map boundary
+# (VERDICT r4 missing #5).  Minutes on XLA:CPU, so gated behind an env
+# var; run manually with
+#   ALGEBRA_TPU_SHARDED_BIG=1 python -m pytest tests/test_sharded.py -k big -p no:xdist
+# Last validated runs are recorded in BASELINE.md round 5.
+# ---------------------------------------------------------------------------
+
+_BIG = os.environ.get("ALGEBRA_TPU_SHARDED_BIG") == "1"
+
+
+@pytest.mark.skipif(not _BIG, reason="slow: set ALGEBRA_TPU_SHARDED_BIG=1")
+def test_sharded_msm_2e16_big():
+    """2^16 points, full 255-bit scalars, 8-device mesh vs local msm."""
+    from algebra_tpu.ops import msm as msm_mod
+
+    curve = bls12_381.g1()
+    rng = random.Random(160816)
+    n = 1 << 16
+    aff256 = curve.from_host(curve.random_host(rng, 256))
+    reps = n // 256
+    bases = (
+        jnp.tile(aff256[0], (1, reps)),
+        jnp.tile(aff256[1], (1, reps)),
+        jnp.tile(aff256[2], (reps,)),
+    )
+    r = curve.scalar_modulus
+    scalars = [rng.randrange(r) for _ in range(n)]
+    sc = jnp.asarray(batch_int_to_limbs(scalars, bls12_381.fr_spec.n_limbs))
+
+    mesh8 = default_mesh(8)
+    out8 = jax.jit(lambda b, s: sharded_msm(curve, mesh8, b, s))(bases, sc)
+    local = jax.jit(lambda b, s: msm_mod.msm(curve, b, s))(bases, sc)
+    assert _host_affine(curve, out8) == _host_affine(curve, local)
+
+
+@pytest.mark.skipif(not _BIG, reason="slow: set ALGEBRA_TPU_SHARDED_BIG=1")
+def test_sharded_ntt_2e20_big():
+    """2^20 coefficients through the 8-device four-step all_to_all."""
+    fr = bls12_381.fr_spec
+    size = 1 << 20
+    rng = np.random.default_rng(2020)
+    coeffs_int = [int.from_bytes(rng.bytes(31), "little") % fr.modulus
+                  for _ in range(size)]
+    coeffs = jnp.asarray(
+        batch_int_to_limbs([fr.to_mont(c) for c in coeffs_int], fr.n_limbs)
+    )
+    omega = fr.get_root_of_unity(size)
+    mesh8 = default_mesh(8)
+    out8 = jax.jit(lambda c: sharded_fft(fr, mesh8, c, omega))(coeffs)
+
+    roots = ntt.powers_from_int(fr, omega, size // 2)
+    bitrev = jnp.asarray(ntt.bit_reverse_indices(size))
     local = jax.jit(lambda c: ntt.fft(fr, c, roots, bitrev))(coeffs)
     np.testing.assert_array_equal(
         np.asarray(jax.device_get(out8)), np.asarray(jax.device_get(local))
